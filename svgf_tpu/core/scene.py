@@ -1,0 +1,342 @@
+"""Scene data model + flattening to device arrays.
+
+Host side mirrors the reference scene (Scene.h:172-226): lists of cameras /
+instances / shapes / materials / environments with the same semantics
+(shape::PreProcess normals/tangents, Scene.cpp:111-217; instance transforms,
+Scene.cpp:355-373). Device side is a single `SceneArrays` pytree of SoA
+jnp arrays — the analogue of the reference's flattened GPU buffers
+(BVH.cpp:419-488, Scene.cpp:478-481) — replicated across chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgf_tpu.accel.bvh import BLAS, FlatBVH, build_blas, flatten_blases
+from svgf_tpu.core.camera import Camera
+from svgf_tpu.core.lights import build_lights
+
+INVALID_ID = -1
+
+
+class MaterialType(enum.IntEnum):
+    """Reference Scene.h:11-15."""
+
+    MATTE = 0
+    PBR = 1
+    VOLUMETRIC = 2
+    GLASS = 3
+    SUBSURFACE = 4
+
+
+@dataclasses.dataclass
+class Material:
+    """Reference material POD (Scene.h:69-89)."""
+
+    emission: tuple = (0.0, 0.0, 0.0)
+    colour: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 0.0
+    metallic: float = 0.0
+    anisotropy: float = 0.0
+    material_type: MaterialType = MaterialType.MATTE
+    opacity: float = 1.0
+    scattering_colour: tuple = (0.0, 0.0, 0.0)
+    transmission_depth: float = 0.01
+    emission_texture: int = INVALID_ID
+    colour_texture: int = INVALID_ID
+    roughness_texture: int = INVALID_ID
+    normal_texture: int = INVALID_ID
+
+
+@dataclasses.dataclass
+class Shape:
+    """A triangle mesh. PreProcess follows reference Scene.cpp:163-285."""
+
+    positions: np.ndarray                  # (V, 3) f32
+    indices: np.ndarray                    # (F, 3) i32
+    normals: np.ndarray | None = None      # (V, 3)
+    uvs: np.ndarray | None = None          # (V, 2)
+    tangents: np.ndarray | None = None     # (V, 4)
+    name: str = "shape"
+
+    # filled by preprocess():
+    tri_pos: np.ndarray | None = None      # (F, 3, 3)
+    tri_nrm: np.ndarray | None = None      # (F, 3, 3)
+    tri_uv: np.ndarray | None = None       # (F, 3, 2)
+    tri_tan: np.ndarray | None = None      # (F, 3, 4)
+    blas: BLAS | None = None
+
+    def preprocess(self) -> "Shape":
+        P = np.asarray(self.positions, dtype=np.float32)
+        F = np.asarray(self.indices, dtype=np.int64)
+        if self.normals is None:
+            # flat per-face normals scattered to vertices (Scene.cpp:166-180)
+            N = np.zeros_like(P)
+            v0, v1, v2 = P[F[:, 0]], P[F[:, 1]], P[F[:, 2]]
+            fn = np.cross(v1 - v0, v2 - v0)
+            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+            N[F[:, 0]] = fn
+            N[F[:, 1]] = fn
+            N[F[:, 2]] = fn
+            self.normals = N
+        if self.uvs is None:
+            self.uvs = np.zeros((P.shape[0], 2), dtype=np.float32)
+        if self.tangents is None:
+            self.tangents = _lengyel_tangents(P, np.asarray(self.normals), np.asarray(self.uvs), F)
+
+        self.tri_pos = P[F]                                   # (F,3,3)
+        self.tri_nrm = np.asarray(self.normals, np.float32)[F]
+        self.tri_uv = np.asarray(self.uvs, np.float32)[F]
+        self.tri_tan = np.asarray(self.tangents, np.float32)[F]
+        self.blas = build_blas(self.tri_pos)
+        return self
+
+    @property
+    def n_triangles(self) -> int:
+        return int(np.asarray(self.indices).shape[0])
+
+
+def _lengyel_tangents(P: np.ndarray, N: np.ndarray, UV: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """Per-vertex tangents, Lengyel's method (reference Scene.cpp:111-161)."""
+    tan1 = np.zeros((P.shape[0], 3), dtype=np.float64)
+    tan2 = np.zeros((P.shape[0], 3), dtype=np.float64)
+    v1, v2, v3 = P[F[:, 0]], P[F[:, 1]], P[F[:, 2]]
+    w1, w2, w3 = UV[F[:, 0]], UV[F[:, 1]], UV[F[:, 2]]
+    e1 = (v2 - v1).astype(np.float64)
+    e2 = (v3 - v1).astype(np.float64)
+    s1 = (w2 - w1).astype(np.float64)
+    s2 = (w3 - w1).astype(np.float64)
+    det = s1[:, 0] * s2[:, 1] - s2[:, 0] * s1[:, 1]
+    r = np.where(np.abs(det) > 1e-20, 1.0 / np.where(det == 0, 1.0, det), 0.0)[:, None]
+    sdir = (s2[:, 1:2] * e1 - s1[:, 1:2] * e2) * r
+    tdir = (s1[:, 0:1] * e2 - s2[:, 0:1] * e1) * r
+    for k in range(3):
+        np.add.at(tan1, F[:, k], sdir)
+        np.add.at(tan2, F[:, k], tdir)
+    n = N.astype(np.float64)
+    t = tan1
+    ortho = t - n * np.sum(n * t, axis=-1, keepdims=True)
+    norm = np.linalg.norm(ortho, axis=-1, keepdims=True)
+    # degenerate UVs: fall back to an arbitrary perpendicular
+    fallback = np.cross(n, np.where(np.abs(n[:, 0:1]) < 0.9,
+                                    np.array([[1.0, 0, 0]]), np.array([[0, 1.0, 0]])))
+    ortho = np.where(norm > 1e-12, ortho, fallback)
+    ortho /= np.maximum(np.linalg.norm(ortho, axis=-1, keepdims=True), 1e-20)
+    w = np.where(np.sum(np.cross(n, t) * tan2, axis=-1) < 0.0, -1.0, 1.0)
+    return np.concatenate([ortho, w[:, None]], axis=-1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class Instance:
+    """Reference instance (Scene.h:104-115): transform + shape/material refs."""
+
+    shape: int
+    material: int
+    transform: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4, dtype=np.float32))
+    name: str = "instance"
+
+
+@dataclasses.dataclass
+class Environment:
+    """IBL environment (Scene.h:161-170)."""
+
+    emission: tuple = (1.0, 1.0, 1.0)
+    transform: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4, dtype=np.float32))
+    emission_texture: int = INVALID_ID
+
+
+# ---------------------------------------------------------------------------
+# Device-side flattened scene
+# ---------------------------------------------------------------------------
+
+
+def _field(**kw):
+    return dataclasses.field(metadata=kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """Everything the device kernels need, as replicated SoA arrays."""
+
+    # triangles (all shapes concatenated)
+    tri_pos: jax.Array       # (T, 3, 3) f32
+    tri_nrm: jax.Array       # (T, 3, 3) f32
+    tri_uv: jax.Array        # (T, 3, 2) f32
+    tri_tan: jax.Array       # (T, 3, 4) f32
+    # threaded BVH (see accel.bvh.FlatBVH)
+    bvh_node_min: jax.Array  # (N, 3) f32
+    bvh_node_max: jax.Array  # (N, 3) f32
+    bvh_skip: jax.Array      # (N,) i32
+    bvh_tri_first: jax.Array # (N,) i32
+    bvh_tri_count: jax.Array # (N,) i32
+    bvh_tri_order: jax.Array # (O,) i32
+    shape_node_start: jax.Array  # (S,) i32
+    shape_node_count: jax.Array  # (S,) i32
+    shape_tri_start: jax.Array   # (S,) i32 — global triangle base per shape
+    shape_tri_count: jax.Array   # (S,) i32
+    # instances
+    inst_transform: jax.Array    # (I, 4, 4) f32
+    inst_inv_transform: jax.Array
+    inst_normal_transform: jax.Array
+    inst_shape: jax.Array        # (I,) i32
+    inst_material: jax.Array     # (I,) i32
+    # materials
+    mat_emission: jax.Array      # (M, 3)
+    mat_colour: jax.Array        # (M, 3)
+    mat_roughness: jax.Array     # (M,)
+    mat_metallic: jax.Array      # (M,)
+    mat_anisotropy: jax.Array    # (M,)
+    mat_opacity: jax.Array       # (M,)
+    mat_scattering: jax.Array    # (M, 3)
+    mat_transmission_depth: jax.Array  # (M,)
+    mat_type: jax.Array          # (M,) i32
+    # lights
+    light_instance: jax.Array    # (L,) i32 (INVALID_ID for env lights)
+    light_env: jax.Array         # (L,) i32
+    light_cdf_start: jax.Array   # (L,) i32
+    light_cdf_count: jax.Array   # (L,) i32
+    lights_cdf: jax.Array        # (C,) f32
+    light_area: jax.Array        # (L,) f32 — total area (last CDF entry)
+    # environments
+    env_transform: jax.Array     # (E, 4, 4)
+    env_inv_transform: jax.Array # (E, 4, 4)
+    env_emission: jax.Array      # (E, 3)
+    env_tex: jax.Array           # (E,) i32
+    env_textures: jax.Array      # (K, He, We, 3) f32 equirect maps
+    # cameras
+    cam_frame: jax.Array         # (C, 4, 4)
+    cam_prev_frame: jax.Array    # (C, 4, 4)
+    cam_proj: jax.Array          # (C, 4, 4)
+
+    @property
+    def n_triangles(self) -> int:
+        return self.tri_pos.shape[0]
+
+    @property
+    def n_instances(self) -> int:
+        return self.inst_shape.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_instance.shape[0]
+
+    @property
+    def n_environments(self) -> int:
+        return self.env_emission.shape[0]
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host-side scene container (reference scene struct, Scene.h:172-226)."""
+
+    cameras: list = dataclasses.field(default_factory=list)
+    shapes: list = dataclasses.field(default_factory=list)
+    instances: list = dataclasses.field(default_factory=list)
+    materials: list = dataclasses.field(default_factory=list)
+    environments: list = dataclasses.field(default_factory=list)
+    env_textures: list = dataclasses.field(default_factory=list)  # (He,We,3) float arrays
+
+    def preprocess(self) -> "Scene":
+        for s in self.shapes:
+            if s.blas is None:
+                s.preprocess()
+        return self
+
+    def flatten(self, dtype=jnp.float32) -> SceneArrays:
+        """Build every flattened device buffer (reference scene::PreProcess)."""
+        self.preprocess()
+        shapes = self.shapes
+
+        tri_pos = np.concatenate([s.tri_pos for s in shapes], axis=0)
+        tri_nrm = np.concatenate([s.tri_nrm for s in shapes], axis=0)
+        tri_uv = np.concatenate([s.tri_uv for s in shapes], axis=0)
+        tri_tan = np.concatenate([s.tri_tan for s in shapes], axis=0)
+        flat: FlatBVH = flatten_blases([s.blas for s in shapes], [s.n_triangles for s in shapes])
+
+        inst_t = np.stack([np.asarray(i.transform, np.float32) for i in self.instances])
+        inst_inv = np.stack([np.linalg.inv(t) for t in inst_t]).astype(np.float32)
+        inst_nrm = np.stack([np.linalg.inv(t).T for t in inst_t]).astype(np.float32)
+
+        mats = self.materials
+        lights = build_lights(self)
+
+        env_t = (
+            np.stack([np.asarray(e.transform, np.float32) for e in self.environments])
+            if self.environments
+            else np.zeros((0, 4, 4), np.float32)
+        )
+        env_inv = (
+            np.stack([np.linalg.inv(t) for t in env_t]).astype(np.float32)
+            if self.environments
+            else np.zeros((0, 4, 4), np.float32)
+        )
+        if self.env_textures:
+            et = np.stack([np.asarray(t, np.float32) for t in self.env_textures])
+        else:
+            et = np.zeros((1, 1, 2, 3), np.float32)  # placeholder, never indexed
+
+        cam_frame = np.stack([c.frame for c in self.cameras])
+        cam_prev = np.stack([c.previous_frame for c in self.cameras])
+        cam_proj = np.stack([c.projection for c in self.cameras])
+
+        f32 = lambda x: jnp.asarray(x, dtype)
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+        return SceneArrays(
+            tri_pos=f32(tri_pos),
+            tri_nrm=f32(tri_nrm),
+            tri_uv=f32(tri_uv),
+            tri_tan=f32(tri_tan),
+            bvh_node_min=f32(flat.node_min),
+            bvh_node_max=f32(flat.node_max),
+            bvh_skip=i32(flat.skip),
+            bvh_tri_first=i32(flat.tri_first),
+            bvh_tri_count=i32(flat.tri_count),
+            bvh_tri_order=i32(flat.tri_order),
+            shape_node_start=i32(flat.shape_node_start),
+            shape_node_count=i32(flat.shape_node_count),
+            shape_tri_start=i32(flat.shape_tri_start),
+            shape_tri_count=i32([s.n_triangles for s in shapes]),
+            inst_transform=f32(inst_t),
+            inst_inv_transform=f32(inst_inv),
+            inst_normal_transform=f32(inst_nrm),
+            inst_shape=i32([i.shape for i in self.instances]),
+            inst_material=i32([i.material for i in self.instances]),
+            mat_emission=f32([m.emission for m in mats]),
+            mat_colour=f32([m.colour for m in mats]),
+            mat_roughness=f32([m.roughness for m in mats]),
+            mat_metallic=f32([m.metallic for m in mats]),
+            mat_anisotropy=f32([m.anisotropy for m in mats]),
+            mat_opacity=f32([m.opacity for m in mats]),
+            mat_scattering=f32([m.scattering_colour for m in mats]),
+            mat_transmission_depth=f32([m.transmission_depth for m in mats]),
+            mat_type=i32([int(m.material_type) for m in mats]),
+            light_instance=i32(lights.instance),
+            light_env=i32(lights.environment),
+            light_cdf_start=i32(lights.cdf_start),
+            light_cdf_count=i32(lights.cdf_count),
+            lights_cdf=f32(lights.cdf),
+            light_area=f32(lights.total),
+            env_transform=f32(env_t),
+            env_inv_transform=f32(env_inv),
+            env_emission=f32(
+                [e.emission for e in self.environments] if self.environments else np.zeros((0, 3))
+            ),
+            env_tex=i32(
+                [e.emission_texture for e in self.environments] if self.environments else []
+            ),
+            env_textures=f32(et),
+            cam_frame=f32(cam_frame),
+            cam_prev_frame=f32(cam_prev),
+            cam_proj=f32(cam_proj),
+        )
+
+    def with_camera(self, index: int, camera: Camera) -> "Scene":
+        cams = list(self.cameras)
+        cams[index] = camera
+        return dataclasses.replace(self, cameras=cams)

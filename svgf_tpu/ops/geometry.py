@@ -1,0 +1,118 @@
+"""Geometry primitives (jnp, batched over rays).
+
+Semantics mirror the reference device library:
+  - Moller-Trumbore triangle test: Common.cuh:509-536
+  - slab AABB test: Common.cuh:538-548
+  - transforms / basis: Common.cuh:299-329
+All functions operate on batched arrays: rays are (..., 3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+MAX_LENGTH = 1e30
+PI = 3.14159  # the reference uses PI_F = 3.14159 (Common.cuh:22)
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def normalize(v, eps=0.0):
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, 1e-30 if eps == 0.0 else eps)
+
+
+def transform_point(m, p):
+    """(...,4,4) @ (...,3) -> (...,3), w=1, no perspective divide (Common.cuh:299)."""
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+
+
+def transform_direction(m, d):
+    """w=0 transform + normalize (Common.cuh:305-309)."""
+    return normalize(jnp.einsum("...ij,...j->...i", m[..., :3, :3], d))
+
+
+def transform_vector(m, d):
+    """w=0 transform, NO normalize (used for object-space ray dirs, Common.cuh:627)."""
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], d)
+
+
+def basis_from_z(z):
+    """Pixar orthonormal basis (Common.cuh:317-329). Returns (x, y, z) unit vecs."""
+    z = normalize(z)
+    sign = jnp.where(z[..., 2] > 0, 1.0, -1.0)
+    a = -1.0 / (sign + z[..., 2])
+    b = z[..., 0] * z[..., 1] * a
+    x = jnp.stack(
+        [1.0 + sign * z[..., 0] ** 2 * a, sign * b, -sign * z[..., 0]], axis=-1
+    )
+    y = jnp.stack([b, sign + z[..., 1] ** 2 * a, -z[..., 1]], axis=-1)
+    return x, y, z
+
+
+def reflect(d, n):
+    """GLSL reflect: d - 2*dot(n,d)*n."""
+    return d - 2.0 * dot(n, d)[..., None] * n
+
+
+def refract(d, n, eta):
+    """GLSL refract(I, N, eta); returns 0 on total internal reflection."""
+    cosi = dot(n, d)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    refr = eta * d - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
+    return jnp.where((k < 0.0)[..., None], 0.0, refr)
+
+
+def ray_triangle(ro, rd, v0, v1, v2):
+    """Moller-Trumbore (Common.cuh:509-536).
+
+    Returns (t, u, v, hit_mask); t = MAX_LENGTH when missed.
+    Shapes: ro/rd (...,3), v0/v1/v2 (...,3) broadcastable.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = jnp.cross(rd, e2)
+    a = dot(e1, h)
+    parallel = jnp.abs(a) < 1e-8
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = ro - v0
+    u = f * dot(s, h)
+    q = jnp.cross(s, e1)
+    v = f * dot(rd, q)
+    t = f * dot(e2, q)
+    hit = (~parallel) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-8)
+    return jnp.where(hit, t, MAX_LENGTH), u, v, hit
+
+
+def ray_aabb(ro, inv_rd, lo, hi, tmax):
+    """Slab test (Common.cuh:538-548). Returns entry t or MAX_LENGTH."""
+    t1 = (lo - ro) * inv_rd
+    t2 = (hi - ro) * inv_rd
+    tmin_v = jnp.minimum(t1, t2)
+    tmax_v = jnp.maximum(t1, t2)
+    tn = jnp.max(tmin_v, axis=-1)
+    tf = jnp.min(tmax_v, axis=-1)
+    hit = (tf >= tn) & (tn < tmax) & (tf > 0)
+    return jnp.where(hit, tn, MAX_LENGTH)
+
+
+def luminance(rgb):
+    """Rec.709 (Filter.cuh:260-263)."""
+    return 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+
+
+def to_srgb(c):
+    """sRGB transfer (Filter.cuh:145-148)."""
+    c = jnp.maximum(c, 0.0)
+    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+
+
+def from_srgb(c):
+    """Common.cuh ToLinear (inverse sRGB)."""
+    return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
+
+
+def is_finite3(v):
+    return jnp.all(jnp.isfinite(v), axis=-1)

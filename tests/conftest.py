@@ -1,0 +1,14 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding tests work on a single host (the standard JAX substitute
+for a pod — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

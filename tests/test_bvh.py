@@ -1,0 +1,120 @@
+"""BVH build + traversal: structure invariants and BVH == brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import functools
+
+import jax
+
+from svgf_tpu.accel.bvh import MAX_LEAF, build_blas
+from svgf_tpu.ops.intersect import intersect_brute_force, intersect_scene
+from svgf_tpu.scenes import cornell_box
+
+intersect_scene = jax.jit(intersect_scene, static_argnames=("any_hit", "only_instance"))
+intersect_brute_force = jax.jit(intersect_brute_force)
+
+
+def random_tris(n, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1, 1, size=(n, 1, 3))
+    offs = rng.uniform(-0.15, 0.15, size=(n, 3, 3))
+    return (base + offs).astype(np.float32)
+
+
+def test_blas_structure():
+    tris = random_tris(257)
+    blas = build_blas(tris)
+    n = blas.n_nodes
+    # every triangle appears exactly once in leaf order
+    assert sorted(blas.tri_order.tolist()) == list(range(257))
+    # leaves are capped
+    assert blas.tri_count.max() <= MAX_LEAF
+    # skip links point forward and within [0, n]
+    assert (blas.skip > np.arange(n)).all()
+    assert (blas.skip <= n).all()
+    # parent AABBs contain children (DFS order: children follow parent)
+    for i in range(n):
+        if blas.tri_count[i] == 0:
+            j = i + 1  # first child
+            assert (blas.node_min[i] <= blas.node_min[j] + 1e-6).all()
+            assert (blas.node_max[i] >= blas.node_max[j] - 1e-6).all()
+
+
+def test_blas_leaf_bounds_contain_tris():
+    tris = random_tris(64, seed=3)
+    blas = build_blas(tris)
+    for i in range(blas.n_nodes):
+        c = int(blas.tri_count[i])
+        if c > 0:
+            ids = blas.tri_order[int(blas.tri_first[i]) : int(blas.tri_first[i]) + c]
+            t = tris[ids]
+            assert (t.min(axis=(0, 1)) >= blas.node_min[i] - 1e-5).all()
+            assert (t.max(axis=(0, 1)) <= blas.node_max[i] + 1e-5).all()
+
+
+@pytest.fixture(scope="module")
+def cornell_arrays():
+    return cornell_box().flatten()
+
+
+def _camera_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = np.tile(np.array([[0.0, 0.0, 3.4]], np.float32), (n, 1))
+    d = np.stack(
+        [
+            rng.uniform(-0.4, 0.4, n),
+            rng.uniform(-0.4, 0.4, n),
+            -np.ones(n),
+        ],
+        axis=-1,
+    )
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(d, jnp.float32)
+
+
+def test_bvh_matches_brute_force(cornell_arrays):
+    ro, rd = _camera_rays(512)
+    h_bvh = intersect_scene(cornell_arrays, ro, rd)
+    h_ref = intersect_brute_force(cornell_arrays, ro, rd)
+    np.testing.assert_allclose(h_bvh.dist, h_ref.dist, rtol=1e-5, atol=1e-5)
+    hit = np.asarray(h_ref.valid)
+    # same primitive & instance on hits (ignoring exact ties)
+    same = np.asarray(h_bvh.prim == h_ref.prim) | ~hit
+    assert same.mean() > 0.999
+    np.testing.assert_array_equal(
+        np.asarray(h_bvh.instance)[hit], np.asarray(h_ref.instance)[hit]
+    )
+
+
+def test_bvh_random_dirs_match(cornell_arrays):
+    rng = np.random.default_rng(7)
+    n = 512
+    ro = jnp.asarray(rng.uniform(-0.9, 0.9, size=(n, 3)), jnp.float32)
+    rd = rng.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd, jnp.float32)
+    h_bvh = intersect_scene(cornell_arrays, ro, rd)
+    h_ref = intersect_brute_force(cornell_arrays, ro, rd)
+    np.testing.assert_allclose(h_bvh.dist, h_ref.dist, rtol=1e-4, atol=1e-5)
+
+
+def test_any_hit_consistency(cornell_arrays):
+    ro, rd = _camera_rays(256, seed=2)
+    h_any = intersect_scene(cornell_arrays, ro, rd, any_hit=True)
+    h_close = intersect_scene(cornell_arrays, ro, rd)
+    # any-hit must report a hit iff closest-hit does
+    np.testing.assert_array_equal(np.asarray(h_any.valid), np.asarray(h_close.valid))
+
+
+def test_tmax_occlusion(cornell_arrays):
+    # rays from the center toward the light: unoccluded until the light quad
+    n = 8
+    ro = jnp.tile(jnp.array([[0.0, -0.5, 0.5]], jnp.float32), (n, 1))
+    rd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+    h = intersect_scene(cornell_arrays, ro, rd)
+    assert bool(h.valid.all())
+    # limiting tmax below the first hit yields a miss (dist stays at tmax)
+    h2 = intersect_scene(cornell_arrays, ro, rd, tmax=jnp.asarray(0.1))
+    np.testing.assert_allclose(np.asarray(h2.dist), 0.1)
