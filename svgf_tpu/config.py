@@ -97,6 +97,8 @@ class RenderConfig:
     state_dtype: str = "float16"
     # Use the G-buffer for the primary hit ("hybrid" trick, Common.cuh:1542-1568).
     hybrid_primary: bool = True
+    # Deterministic RNG seed (replaces the reference's wall-clock Time seed).
+    seed: int = 0
 
     # ---- (de)serialization: the reference has no config files; we add JSON. ----
     def to_json(self) -> str:

@@ -155,14 +155,32 @@ class Environment:
 # ---------------------------------------------------------------------------
 
 
-def _field(**kw):
-    return dataclasses.field(metadata=kw)
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (hashable) scene topology — baked into the jit trace.
+
+    Light/environment structure must be static so device code can emit one
+    specialized branch per light (the reference's per-thread dynamic loops
+    over lights, Common.cuh:635-715, become static unrolls here).
+    """
+
+    n_instances: int
+    n_lights: int
+    n_envs: int
+    light_instance: tuple      # per light: instance id or -1
+    light_env: tuple           # per light: environment id or -1
+    light_cdf_start: tuple
+    light_cdf_count: tuple
+    light_tri_start: tuple     # per light: global triangle base of its shape (-1 env)
+    env_tex: tuple             # per environment: emission texture id or -1
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneArrays:
     """Everything the device kernels need, as replicated SoA arrays."""
+
+    meta: SceneMeta = dataclasses.field(metadata=dict(static=True))
 
     # triangles (all shapes concatenated)
     tri_pos: jax.Array       # (T, 3, 3) f32
@@ -285,9 +303,26 @@ class Scene:
         cam_prev = np.stack([c.previous_frame for c in self.cameras])
         cam_proj = np.stack([c.projection for c in self.cameras])
 
+        light_tri_start = tuple(
+            int(flat.shape_tri_start[self.instances[int(li)].shape]) if li >= 0 else -1
+            for li in lights.instance
+        )
+        meta = SceneMeta(
+            n_instances=len(self.instances),
+            n_lights=int(lights.instance.shape[0]),
+            n_envs=len(self.environments),
+            light_instance=tuple(int(x) for x in lights.instance),
+            light_env=tuple(int(x) for x in lights.environment),
+            light_cdf_start=tuple(int(x) for x in lights.cdf_start),
+            light_cdf_count=tuple(int(x) for x in lights.cdf_count),
+            light_tri_start=light_tri_start,
+            env_tex=tuple(int(e.emission_texture) for e in self.environments),
+        )
+
         f32 = lambda x: jnp.asarray(x, dtype)
         i32 = lambda x: jnp.asarray(x, jnp.int32)
         return SceneArrays(
+            meta=meta,
             tri_pos=f32(tri_pos),
             tri_nrm=f32(tri_nrm),
             tri_uv=f32(tri_uv),

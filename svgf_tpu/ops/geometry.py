@@ -58,10 +58,14 @@ def reflect(d, n):
 
 
 def refract(d, n, eta):
-    """GLSL refract(I, N, eta); returns 0 on total internal reflection."""
+    """GLSL refract(I, N, eta); returns 0 on total internal reflection.
+
+    eta may be a scalar or a per-lane (...,) array.
+    """
+    eta = jnp.asarray(eta)
     cosi = dot(n, d)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
-    refr = eta * d - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
+    refr = eta[..., None] * d - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
     return jnp.where((k < 0.0)[..., None], 0.0, refr)
 
 
@@ -104,14 +108,20 @@ def luminance(rgb):
 
 
 def to_srgb(c):
-    """sRGB transfer (Filter.cuh:145-148)."""
+    """sRGB transfer (Filter.cuh:145-148).
+
+    The power-branch base is clamped away from 0 so the untaken branch's
+    backward pass stays finite (0*inf=NaN would otherwise poison grads).
+    """
     c = jnp.maximum(c, 0.0)
-    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+    safe = jnp.maximum(c, 0.0031308)
+    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(safe, 1.0 / 2.4) - 0.055)
 
 
 def from_srgb(c):
     """Common.cuh ToLinear (inverse sRGB)."""
-    return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
+    safe = jnp.maximum(c, 1e-4)
+    return jnp.where(c <= 0.04045, c / 12.92, jnp.power((safe + 0.055) / 1.055, 2.4))
 
 
 def is_finite3(v):

@@ -1,0 +1,351 @@
+"""Wavefront path tracer (reference src/PathTrace.cuh).
+
+The reference runs a divergent per-thread megakernel with a bounce loop,
+nested traces, and data-dependent breaks. The TPU design is *wavefront*:
+every bounce is one vectorized step over the whole pixel batch — all lanes
+intersect together, all lanes shade together, termination is a mask. This
+keeps every op dense on the VPU and gives XLA whole-image fusion freedom
+(SURVEY.md §7.2 step 3).
+
+Faithful reproductions:
+  * MIS estimator structure (PathTrace.cuh:148-351): NEE with power
+    heuristic + shadow trace, BSDF sample whose intersection is REUSED as
+    the next bounce's hit, delta materials sampled separately, Russian
+    roulette after bounce 3, radiance clamp.
+  * emission only added when the previous bounce did not already account
+    for it via MIS (UseMisIntersection, :230-233).
+  * the MIS bsdf branch uses raw Material.Emission for the hit (no
+    orientation test, :276) while the NEE branch uses EvalEmission (:256).
+  * simpler BSDF/LIGHT/BOTH estimators (PathTrace.cuh:353-556).
+
+Documented deviations:
+  * deterministic jax.random fields instead of time-seeded PCG
+    (PathTrace.cuh:589-592) — required for reproducibility and gradients;
+  * a zero light-pdf kills the NEE contribution instead of producing the
+    reference's NaN-then-scrub-to-black behavior (Common.cuh:245 quirk);
+  * when the MIS-sample condition fails the next bounce re-traces instead
+    of reusing a stale MisIntersection (reference keeps a stale flag);
+  * opacity pass-through and in-volume scattering are not yet wavefronted
+    (reference :187-202, :220-226); scenes with opacity==1 and no
+    volumetric media — including every shipped scene — are unaffected.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svgf_tpu.config import SamplingMode
+from svgf_tpu.ops import bsdf as B
+from svgf_tpu.ops.geometry import MAX_LENGTH, dot, normalize, transform_point, transform_vector
+from svgf_tpu.ops.intersect import Hit, intersect_scene
+from svgf_tpu.ops.lights import _interp, eval_environment, sample_lights, sample_lights_pdf
+from svgf_tpu.ops.sampling import RngStream, power_heuristic
+
+
+class _Shade(NamedTuple):
+    position: jax.Array   # (R,3) world shading position
+    normal: jax.Array     # (R,3) shading normal (flipped toward outgoing; glass keeps)
+    mp: B.MaterialPoint
+
+
+def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
+    """Geometry + material evaluation at a hit (Common.cuh:1422-1479)."""
+    prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
+    inst = jnp.clip(hit.instance, 0, scene.inst_shape.shape[0] - 1)
+    pos = transform_point(
+        scene.inst_transform[inst], _interp(scene.tri_pos, prim, hit.u, hit.v)
+    )
+    n = normalize(
+        transform_vector(
+            scene.inst_normal_transform[inst], _interp(scene.tri_nrm, prim, hit.u, hit.v)
+        )
+    )
+    mp = B.eval_material_point(scene, jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1))
+    # EvalShadingNormal (Common.cuh:1433-1438): glass keeps the normal,
+    # everything else flips it toward the outgoing direction
+    flip = (dot(n, outgoing) < 0) & (mp.mtype != B.GLASS)
+    n = jnp.where(flip[..., None], -n, n)
+    return _Shade(position=pos, normal=n, mp=mp)
+
+
+def _emission_at_hit(scene, hit: Hit, outgoing):
+    """EvalEmission at a secondary hit (NEE branch, PathTrace.cuh:253-256)."""
+    sh = _shading_point(scene, hit, outgoing)
+    return B.eval_emission(sh.mp, sh.normal, outgoing)
+
+
+def _offset_origin(position, normal, incoming):
+    """Ray origin shift (PathTrace.cuh:240, 304)."""
+    side = jnp.where(dot(normal, incoming) > 0, 1.0, -1.0)
+    return position + side[..., None] * normal * 1e-3
+
+
+class PathState(NamedTuple):
+    radiance: jax.Array   # (R,3)
+    weight: jax.Array     # (R,3)
+    active: jax.Array     # (R,) bool
+    use_mis: jax.Array    # (R,) bool
+    ro: jax.Array         # (R,3)
+    rd: jax.Array         # (R,3)
+
+
+def pathtrace(
+    scene,
+    ro,
+    rd,
+    key,
+    bounces: int = 3,
+    clamp: float = 10.0,
+    mode: SamplingMode = SamplingMode.MIS,
+    first_hit: Hit | None = None,
+):
+    """Trace one sample per lane. Returns (radiance (R,3), first_normal (R,3))."""
+    R = ro.shape[0]
+    state = PathState(
+        radiance=jnp.zeros((R, 3), jnp.float32),
+        weight=jnp.ones((R, 3), jnp.float32),
+        active=jnp.ones((R,), jnp.bool_),
+        use_mis=jnp.zeros((R,), jnp.bool_),
+        ro=ro,
+        rd=rd,
+    )
+    first_normal = jnp.zeros((R, 3), jnp.float32)
+
+    hit = first_hit if first_hit is not None else intersect_scene(scene, ro, rd)
+    for b in range(bounces):
+        rng = RngStream(jax.random.fold_in(key, b))
+        if mode == SamplingMode.MIS:
+            state, next_hit, has_next = _bounce_mis(scene, state, hit, rng, b)
+        else:
+            state, next_hit, has_next = _bounce_simple(scene, state, hit, rng, b, mode)
+        if b == 0:
+            sh0 = _shading_point(scene, hit, -rd)
+            first_normal = jnp.where(
+                (hit.dist < MAX_LENGTH)[..., None], sh0.normal, 0.0
+            )
+        # Russian roulette after bounce 3 (PathTrace.cuh:340-345)
+        if b > 3:
+            rr = jnp.minimum(0.99, jnp.max(state.weight, axis=-1))
+            u = rng.uniform((R,))
+            kill = u >= rr
+            survive = state.active & ~kill
+            state = state._replace(
+                active=survive,
+                weight=jnp.where(
+                    survive[..., None],
+                    state.weight / jnp.maximum(rr, 1e-6)[..., None],
+                    state.weight,
+                ),
+            )
+        dead = (jnp.max(state.weight, axis=-1) <= 0.0) | ~jnp.all(
+            jnp.isfinite(state.weight), axis=-1
+        )
+        state = state._replace(active=state.active & ~dead)
+        if b + 1 < bounces:
+            traced = intersect_scene(
+                scene, state.ro, state.rd, active=state.active & ~has_next
+            )
+            hit = jax.tree.map(
+                lambda a, t: jnp.where(
+                    has_next if a.ndim == 1 else has_next[..., None], a, t
+                ),
+                next_hit,
+                traced,
+            )
+
+    radiance = state.radiance
+    radiance = jnp.where(
+        jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True), radiance, 0.0
+    )
+    m = jnp.max(radiance, axis=-1)
+    # denominator floored at `clamp` (the branch is only taken for m > clamp)
+    # so the untaken branch's backward stays finite — 1e-20 floors overflow
+    scale = jnp.where(m > clamp, clamp / jnp.maximum(m, clamp), 1.0)
+    return radiance * scale[..., None], first_normal
+
+
+def _handle_miss(scene, state: PathState, hit: Hit):
+    miss = state.active & (hit.dist >= MAX_LENGTH)
+    if scene.meta.n_envs > 0:
+        env = eval_environment(scene, state.rd)
+        radiance = state.radiance + jnp.where(miss[..., None], state.weight * env, 0.0)
+    else:
+        radiance = state.radiance
+    return state._replace(radiance=radiance, active=state.active & ~miss)
+
+
+def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
+    R = state.ro.shape[0]
+    state = _handle_miss(scene, state, hit)
+    act = state.active
+
+    outgoing = -state.rd
+    sh = _shading_point(scene, hit, outgoing)
+    mp, normal, position = sh.mp, sh.normal, sh.position
+
+    # emission (only when the MIS bsdf branch didn't already account for it)
+    emit = B.eval_emission(mp, normal, outgoing)
+    add_emit = act & ~state.use_mis
+    radiance = state.radiance + jnp.where(add_emit[..., None], state.weight * emit, 0.0)
+
+    delta = B.is_delta(mp)
+    weight = state.weight
+
+    # ---------------- NEE branch (PathTrace.cuh:238-260) ----------------
+    dir_l = sample_lights(
+        scene, position, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
+    )
+    l_zero = jnp.all(dir_l == 0.0, axis=-1)
+    shifted_l = _offset_origin(position, normal, dir_l)
+    bsdf_l = B.eval_bsdf_cos(mp, normal, outgoing, dir_l)
+    lpdf_l = sample_lights_pdf(scene, shifted_l, dir_l)
+    bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l)
+    misw_l = power_heuristic(lpdf_l, bpdf_l) / jnp.maximum(lpdf_l, 1e-20)
+    nee_ok = (
+        act & ~delta & ~l_zero & (lpdf_l > 0)
+        & jnp.any(bsdf_l != 0.0, axis=-1) & (misw_l != 0)
+    )
+    shadow = intersect_scene(scene, shifted_l, dir_l, active=nee_ok)
+    shadow_miss = shadow.dist >= MAX_LENGTH
+    if scene.meta.n_envs > 0:
+        emis_miss = eval_environment(scene, dir_l)
+    else:
+        emis_miss = jnp.zeros((R, 3), jnp.float32)
+    emis_hit = _emission_at_hit(scene, shadow, -dir_l)
+    emis = jnp.where(shadow_miss[..., None], emis_miss, emis_hit)
+    radiance = radiance + jnp.where(
+        nee_ok[..., None], weight * bsdf_l * emis * misw_l[..., None], 0.0
+    )
+
+    # ---------------- BSDF-sample branch (PathTrace.cuh:261-284) --------
+    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)))
+    b_zero = jnp.all(dir_b == 0.0, axis=-1)
+    shifted_b = _offset_origin(position, normal, dir_b)
+    bsdf_b = B.eval_bsdf_cos(mp, normal, outgoing, dir_b)
+    lpdf_b = sample_lights_pdf(scene, shifted_b, dir_b)
+    bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b)
+    misw_b = power_heuristic(bpdf_b, lpdf_b) / jnp.maximum(bpdf_b, 1e-20)
+    mis_cond = (
+        act & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
+        & jnp.any(bsdf_b != 0.0, axis=-1) & (misw_b != 0)
+    )
+    mis_hit = intersect_scene(scene, shifted_b, dir_b, active=mis_cond)
+    mis_miss = mis_hit.dist >= MAX_LENGTH
+    if scene.meta.n_envs > 0:
+        emis_b = jnp.where(
+            mis_miss[..., None], eval_environment(scene, dir_b), 0.0
+        )
+    else:
+        emis_b = jnp.zeros((R, 3), jnp.float32)
+    # raw Material.Emission at the hit — no orientation test (:276)
+    hm = jnp.clip(mis_hit.material, 0, scene.mat_type.shape[0] - 1)
+    emis_b = jnp.where(
+        mis_miss[..., None], emis_b, scene.mat_emission[hm]
+    )
+    radiance = radiance + jnp.where(
+        mis_cond[..., None], weight * bsdf_b * emis_b * misw_b[..., None], 0.0
+    )
+    w_bsdf = weight * bsdf_b / jnp.maximum(bpdf_b, 1e-20)[..., None]
+
+    # ---------------- delta branch (PathTrace.cuh:286-292) --------------
+    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)))
+    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d)
+    w_delta = weight * B.eval_delta(mp, normal, outgoing, dir_d) / jnp.maximum(
+        pdf_d, 1e-20
+    )[..., None]
+    d_zero = jnp.all(dir_d == 0.0, axis=-1)
+
+    # ---------------- merge + ray update --------------------------------
+    incoming = jnp.where(delta[..., None], dir_d, dir_b)
+    new_weight = jnp.where(
+        delta[..., None], w_delta, jnp.where(mis_cond[..., None], w_bsdf, weight)
+    )
+    # lanes break when their sampled direction is zero (:241,:264)
+    broke = jnp.where(delta, d_zero, b_zero | l_zero)
+    active = act & ~broke
+    use_mis = jnp.where(delta, False, mis_cond)
+
+    new_ro = _offset_origin(position, normal, incoming)
+    new_state = PathState(
+        radiance=radiance,
+        weight=jnp.where(act[..., None], new_weight, state.weight),
+        active=active,
+        use_mis=jnp.where(act, use_mis, state.use_mis),
+        ro=jnp.where(act[..., None], new_ro, state.ro),
+        rd=jnp.where(act[..., None], incoming, state.rd),
+    )
+    has_next = new_state.active & use_mis
+    return new_state, mis_hit, has_next
+
+
+def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int,
+                   mode: SamplingMode):
+    """BSDF / LIGHT / BOTH estimators (PathTrace.cuh:353-556)."""
+    R = state.ro.shape[0]
+    state = _handle_miss(scene, state, hit)
+    act = state.active
+
+    outgoing = -state.rd
+    sh = _shading_point(scene, hit, outgoing)
+    mp, normal, position = sh.mp, sh.normal, sh.position
+
+    emit = B.eval_emission(mp, normal, outgoing)
+    radiance = state.radiance + jnp.where(act[..., None], state.weight * emit, 0.0)
+
+    delta = B.is_delta(mp)
+
+    # light-sampling estimator
+    dir_l = sample_lights(
+        scene, position, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
+    )
+    l_zero = jnp.all(dir_l == 0.0, axis=-1)
+    lpdf = sample_lights_pdf(scene, position, dir_l)
+    w_light = B.eval_bsdf_cos(mp, normal, outgoing, dir_l) / jnp.maximum(lpdf, 1e-20)[
+        ..., None
+    ]
+    light_bad = l_zero | (lpdf <= 0)
+
+    # bsdf-sampling estimator
+    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)))
+    b_zero = jnp.all(dir_b == 0.0, axis=-1)
+    bpdf = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b)
+    w_bsdf = B.eval_bsdf_cos(mp, normal, outgoing, dir_b) / jnp.maximum(bpdf, 1e-20)[
+        ..., None
+    ]
+
+    if mode == SamplingMode.LIGHT:
+        use_light = jnp.ones((R,), jnp.bool_)
+    elif mode == SamplingMode.BSDF:
+        use_light = jnp.zeros((R,), jnp.bool_)
+    else:  # BOTH: 50/50 per lane (PathTrace.cuh:469)
+        use_light = rng.uniform((R,)) > 0.5
+
+    incoming_nd = jnp.where(use_light[..., None], dir_l, dir_b)
+    w_nd = jnp.where(use_light[..., None], w_light, w_bsdf)
+    broke_nd = jnp.where(use_light, light_bad, b_zero)
+
+    # delta branch
+    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)))
+    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d)
+    w_delta = B.eval_delta(mp, normal, outgoing, dir_d) / jnp.maximum(pdf_d, 1e-20)[
+        ..., None
+    ]
+    d_zero = jnp.all(dir_d == 0.0, axis=-1)
+
+    incoming = jnp.where(delta[..., None], dir_d, incoming_nd)
+    w_mult = jnp.where(delta[..., None], w_delta, w_nd)
+    broke = jnp.where(delta, d_zero, broke_nd)
+
+    new_ro = _offset_origin(position, normal, incoming)
+    new_state = PathState(
+        radiance=radiance,
+        weight=jnp.where(act[..., None], state.weight * w_mult, state.weight),
+        active=act & ~broke,
+        use_mis=state.use_mis,
+        ro=jnp.where(act[..., None], new_ro, state.ro),
+        rd=jnp.where(act[..., None], incoming, state.rd),
+    )
+    return new_state, Hit.none((R,)), jnp.zeros((R,), jnp.bool_)

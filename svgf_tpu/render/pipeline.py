@@ -1,0 +1,218 @@
+"""Frame pipeline — the orchestrator (reference application::Render, App.cu:539-690).
+
+One pure function `render_frame(scene, state, config) -> (FrameOutputs,
+TemporalState)` runs the six reference stages:
+
+    Rasterize -> Trace -> TemporalFilter -> FilterMoments -> WaveletFilter -> TAA
+
+with the reference's exact data flow, including the iteration-0 wavelet
+feedback into next frame's temporal history (Filter.cuh:619-622) and the
+steps==0 case where the temporal output itself is the feedback.
+
+`Renderer` wraps it with jit + donated state (the ping-pong buffers of
+App.cu:374 become donated pytree leaves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from svgf_tpu.config import DebugOutput, RenderConfig
+from svgf_tpu.ops.geometry import to_srgb
+from svgf_tpu.render import svgf
+from svgf_tpu.render.gbuffer import camera_rays, gbuffer_first_hit, raster_gbuffer
+from svgf_tpu.render.pathtrace import pathtrace
+from svgf_tpu.render.types import FrameOutputs, GBuffer, TemporalState
+
+
+def render_frame(scene, state: TemporalState, config: RenderConfig):
+    h, w = config.height, config.width
+    cam = config.tracing.current_camera
+    sdtype = jnp.dtype(config.state_dtype)
+
+    # ---- 1. Rasterize (primary visibility) ----
+    with jax.named_scope("gbuffer"):
+        gbuf = raster_gbuffer(scene, cam, h, w)
+
+    # ---- 2. Trace (1spp x batch path tracing) ----
+    key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
+    radiance = jnp.zeros((h * w, 3), jnp.float32)
+    with jax.named_scope("trace"):
+        for s in range(config.tracing.batch):
+            skey = jax.random.fold_in(key, s)
+            jitter = (
+                jax.random.uniform(jax.random.fold_in(skey, 987), (h, w, 2)) * 2.0 - 1.0
+            )
+            ro, rd = camera_rays(
+                scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
+            )
+            first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
+            sample, _ = pathtrace(
+                scene,
+                ro,
+                rd,
+                skey,
+                bounces=config.tracing.bounces,
+                clamp=config.tracing.clamp,
+                mode=config.tracing.sampling_mode,
+                first_hit=first_hit,
+            )
+            radiance = radiance + sample / config.tracing.batch
+    radiance = radiance.reshape(h, w, 3)
+
+    # ---- 3. Temporal filter ----
+    with jax.named_scope("temporal"):
+        tres = svgf.temporal_filter(
+            radiance,
+            state.color.astype(jnp.float32),
+            gbuf,
+            state.gbuffer,
+            state.moments.astype(jnp.float32),
+            state.history_len,
+            depth_threshold=config.svgf.depth_threshold,
+            normal_threshold=config.svgf.normal_threshold,
+            history_base_length=config.svgf.history_length,
+        )
+
+    # ---- 4. Spatial moments fallback ----
+    with jax.named_scope("filter_moments"):
+        moments_out = svgf.filter_moments(
+            tres.color,
+            tres.moments,
+            gbuf,
+            tres.history_len,
+            phi_colour=config.svgf.phi_colour,
+            phi_normal=config.svgf.phi_normal,
+        )
+
+    # ---- 5. A-trous wavelet chain ----
+    with jax.named_scope("wavelet"):
+        atrous_out, feedback, _ = svgf.wavelet_filter(
+            moments_out,
+            gbuf,
+            steps=config.svgf.spatial_filter_steps,
+            phi_colour=config.svgf.phi_colour,
+            phi_normal=config.svgf.phi_normal,
+        )
+    # steps==0: RenderBuffer keeps the temporal output (no iteration-0 write)
+    if config.svgf.spatial_filter_steps == 0:
+        feedback = tres.color
+
+    # ---- 6. TAA + sRGB (the main path's tonemap) ----
+    with jax.named_scope("taa"):
+        if config.svgf.enable_taa:
+            final = svgf.taa(atrous_out, state.taa_history.astype(jnp.float32))
+        else:
+            rgb = jnp.clip(atrous_out[..., :3], 0.0, 1.0)
+            final = jnp.concatenate(
+                [to_srgb(rgb), jnp.ones((h, w, 1), jnp.float32)], axis=-1
+            )
+
+    new_state = TemporalState(
+        color=feedback.astype(sdtype),
+        moments=tres.moments.astype(sdtype),
+        history_len=tres.history_len,
+        taa_history=final.astype(sdtype),
+        gbuffer=jax.tree.map(
+            lambda x: x.astype(sdtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            gbuf,
+        ),
+        frame_idx=state.frame_idx + 1,
+    )
+
+    image = _select_tap(config.debug_output, radiance, tres, moments_out, atrous_out,
+                        final, gbuf)
+    outputs = FrameOutputs(
+        image=image,
+        radiance=radiance,
+        temporal=tres.color,
+        moments_filtered=moments_out,
+        atrous=atrous_out,
+        final=final[..., :3],
+        gbuffer=gbuf,
+    )
+    return outputs, new_state
+
+
+def _select_tap(tap: DebugOutput, radiance, tres, moments_out, atrous_out, final, gbuf):
+    """Debug render-graph taps (reference SVGFDebugOutputEnum, App.h:92-105)."""
+    if tap == DebugOutput.FINAL:
+        return final[..., :3]
+    if tap == DebugOutput.RAW:
+        return radiance
+    if tap == DebugOutput.NORMAL:
+        return gbuf.normal * 0.5 + 0.5
+    if tap == DebugOutput.MOTION:
+        m = gbuf.motion
+        return jnp.concatenate([jnp.abs(m), jnp.zeros(m.shape[:-1] + (1,))], -1)
+    if tap == DebugOutput.POSITION:
+        return gbuf.position
+    if tap == DebugOutput.BARYCENTRIC:
+        u, v = gbuf.uv[..., 0], gbuf.uv[..., 1]
+        return jnp.stack([u, v, 1.0 - u - v], -1)
+    if tap == DebugOutput.TEMPORAL:
+        return tres.color[..., :3]
+    if tap == DebugOutput.ATROUS:
+        return atrous_out[..., :3]
+    if tap == DebugOutput.MOMENTS:
+        m = tres.moments
+        return jnp.concatenate([m, jnp.zeros(m.shape[:-1] + (1,))], -1)
+    if tap == DebugOutput.VARIANCE:
+        return jnp.repeat(tres.color[..., 3:4], 3, axis=-1)
+    if tap == DebugOutput.DEPTH:
+        d = gbuf.depth / jnp.maximum(jnp.max(gbuf.depth), 1e-6)
+        return jnp.repeat(d[..., None], 3, axis=-1)
+    raise ValueError(f"unknown tap {tap}")
+
+
+class Renderer:
+    """Stateful convenience wrapper: owns the flattened scene + jitted step.
+
+    The reference `application` singleton's per-frame loop (App.cu:692-734)
+    becomes: `out, _ = renderer.step()` per frame; camera updates go through
+    `renderer.update_camera(frame)` (PreviousFrame handling matches
+    EndFrame, App.cu:372).
+    """
+
+    def __init__(self, scene, config: RenderConfig):
+        self.scene = scene
+        self.config = config
+        for cam in scene.cameras:
+            cam.aspect = config.width / config.height
+        self.arrays = scene.flatten()
+        self.state = TemporalState.initial(
+            config.height, config.width, jnp.dtype(config.state_dtype)
+        )
+        self._step = jax.jit(
+            functools.partial(render_frame, config=config), donate_argnums=(1,)
+        )
+
+    def update_camera(self, new_frame, index: int | None = None):
+        idx = self.config.tracing.current_camera if index is None else index
+        cam = self.scene.cameras[idx].advance(new_frame)
+        self.scene.cameras[idx] = cam
+        import numpy as np
+
+        self.arrays = dataclasses.replace(
+            self.arrays,
+            cam_frame=self.arrays.cam_frame.at[idx].set(jnp.asarray(cam.frame)),
+            cam_prev_frame=self.arrays.cam_prev_frame.at[idx].set(
+                jnp.asarray(cam.previous_frame)
+            ),
+        )
+
+    def step(self) -> FrameOutputs:
+        out, self.state = self._step(self.arrays, self.state)
+        return out
+
+    def render_sequence(self, camera_frames) -> list:
+        """Offline driver loop: render one frame per camera pose."""
+        outs = []
+        for f in camera_frames:
+            self.update_camera(f)
+            outs.append(self.step())
+        return outs

@@ -324,7 +324,7 @@ def _decode_pal_yuv(yuv):
         [[1.0, 0.0, 1.13983], [1.0, -0.39465, -0.58060], [1.0, 2.03211, 0.0]], jnp.float32
     )
     rgb = jnp.einsum("ij,...j->...i", m, yuv)
-    return jnp.power(jnp.maximum(rgb, 0.0), 0.5)
+    return jnp.sqrt(jnp.maximum(rgb, 1e-12))  # eps keeps sqrt' finite at 0
 
 
 def taa(
@@ -339,7 +339,7 @@ def taa(
     mix_rate = jnp.minimum(last[..., 3], 0.5)
     aa = last[..., :3]
     aa = aa * aa + (in0 * in0 - aa * aa) * mix_rate[..., None]
-    aa = jnp.sqrt(jnp.maximum(aa, 0.0))
+    aa = jnp.sqrt(jnp.maximum(aa, 1e-12))
 
     neigh = []
     for dy, dx in [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)]:
