@@ -26,7 +26,13 @@ import dataclasses
 import numpy as np
 
 BINS = 8          # reference BVH.cpp:13
-MAX_LEAF = 4      # TPU-specific leaf cap (see module docstring)
+# TPU-specific: single-triangle leaves. The traversal is pure 1-D component
+# arrays (see ops/intersect.py) — a K-wide leaf batch would materialize
+# (R, K, ...) tensors whose tiny trailing dims pad to 128 lanes on TPU
+# (30-50x HBM blowup measured at 1080p). K=1 keeps every traversal tensor
+# strictly (R,), which tiles perfectly; the ~1.5x extra node visits are far
+# cheaper than the padding.
+MAX_LEAF = 1
 
 
 @dataclasses.dataclass

@@ -99,6 +99,10 @@ class RenderConfig:
     hybrid_primary: bool = True
     # Deterministic RNG seed (replaces the reference's wall-clock Time seed).
     seed: int = 0
+    # Trace-stage wavefront chunking: number of sequential ray chunks per
+    # frame (peak HBM of the shading stage scales as 1/chunks). 8 fits 1080p
+    # on one v5e chip; 1 = single wavefront (small frames / CPU tests).
+    trace_chunks: int = 1
 
     # ---- (de)serialization: the reference has no config files; we add JSON. ----
     def to_json(self) -> str:

@@ -173,6 +173,8 @@ class SceneMeta:
     light_cdf_count: tuple
     light_tri_start: tuple     # per light: global triangle base of its shape (-1 env)
     env_tex: tuple             # per environment: emission texture id or -1
+    n_world_tris: int = 0      # unpadded world-triangle-soup size
+    inst_world_range: tuple = ()  # per instance: (start, count) in the soup
 
 
 @jax.tree_util.register_dataclass
@@ -194,6 +196,19 @@ class SceneArrays:
     bvh_tri_first: jax.Array # (N,) i32
     bvh_tri_count: jax.Array # (N,) i32
     bvh_tri_order: jax.Array # (O,) i32
+    # TPU-layout traversal mirrors: 1-D/row-major component arrays so every
+    # gather inside the traversal loop tiles perfectly (no 3->128 lane pad)
+    bvh_bounds6: jax.Array   # (6, N) f32: min_xyz, max_xyz rows
+    bvh_leaf_tri: jax.Array  # (N,) i32: global triangle id at leaf, -1 internal
+    tri_verts9: jax.Array    # (9, T) f32: v0xyz, v1xyz, v2xyz rows
+    # dense-intersector world-space triangle soup (every instance's triangles
+    # pre-transformed to world space, padded to a multiple of 128 with
+    # degenerate triangles): zero-gather (rays x tri-chunk) intersection for
+    # small scenes — the fast path on TPU
+    world_tris9: jax.Array   # (9, TW) f32
+    world_tri_inst: jax.Array  # (TW,) i32, -1 = padding
+    world_tri_mat: jax.Array   # (TW,) i32
+    world_tri_prim: jax.Array  # (TW,) i32 — object-space global triangle id
     shape_node_start: jax.Array  # (S,) i32
     shape_node_count: jax.Array  # (S,) i32
     shape_tri_start: jax.Array   # (S,) i32 — global triangle base per shape
@@ -303,6 +318,34 @@ class Scene:
         cam_prev = np.stack([c.previous_frame for c in self.cameras])
         cam_proj = np.stack([c.projection for c in self.cameras])
 
+        # world-space triangle soup for the dense intersector
+        ws9, ws_inst, ws_mat, ws_prim, inst_ws = [], [], [], [], []
+        cursor = 0
+        for i, inst in enumerate(self.instances):
+            sh = self.shapes[inst.shape]
+            t = np.asarray(inst.transform, np.float64)
+            pw = sh.tri_pos.astype(np.float64) @ t[:3, :3].T + t[:3, 3]  # (F,3,3)
+            ws9.append(pw.reshape(pw.shape[0], 9).T.astype(np.float32))
+            n = sh.n_triangles
+            ws_inst.append(np.full(n, i, np.int32))
+            ws_mat.append(np.full(n, inst.material, np.int32))
+            ws_prim.append(
+                np.arange(n, dtype=np.int32) + int(flat.shape_tri_start[inst.shape])
+            )
+            inst_ws.append((cursor, n))
+            cursor += n
+        world9 = np.concatenate(ws9, axis=1) if ws9 else np.zeros((9, 0), np.float32)
+        tw = world9.shape[1]
+        tw_pad = max(128, -(-tw // 128) * 128)
+        pad = tw_pad - tw
+        world9 = np.pad(world9, ((0, 0), (0, pad)))
+        w_inst = np.pad(np.concatenate(ws_inst) if ws_inst else np.zeros(0, np.int32),
+                        (0, pad), constant_values=-1)
+        w_mat = np.pad(np.concatenate(ws_mat) if ws_mat else np.zeros(0, np.int32),
+                       (0, pad))
+        w_prim = np.pad(np.concatenate(ws_prim) if ws_prim else np.zeros(0, np.int32),
+                        (0, pad))
+
         light_tri_start = tuple(
             int(flat.shape_tri_start[self.instances[int(li)].shape]) if li >= 0 else -1
             for li in lights.instance
@@ -317,6 +360,8 @@ class Scene:
             light_cdf_count=tuple(int(x) for x in lights.cdf_count),
             light_tri_start=light_tri_start,
             env_tex=tuple(int(e.emission_texture) for e in self.environments),
+            n_world_tris=tw,
+            inst_world_range=tuple(inst_ws),
         )
 
         f32 = lambda x: jnp.asarray(x, dtype)
@@ -333,6 +378,21 @@ class Scene:
             bvh_tri_first=i32(flat.tri_first),
             bvh_tri_count=i32(flat.tri_count),
             bvh_tri_order=i32(flat.tri_order),
+            bvh_bounds6=f32(
+                np.concatenate([flat.node_min.T, flat.node_max.T], axis=0)
+            ),
+            bvh_leaf_tri=i32(
+                np.where(
+                    flat.tri_count > 0,
+                    flat.tri_order[np.clip(flat.tri_first, 0, max(len(flat.tri_order) - 1, 0))],
+                    -1,
+                )
+            ),
+            tri_verts9=f32(tri_pos.reshape(tri_pos.shape[0], 9).T),
+            world_tris9=f32(world9),
+            world_tri_inst=i32(w_inst),
+            world_tri_mat=i32(w_mat),
+            world_tri_prim=i32(w_prim),
             shape_node_start=i32(flat.shape_node_start),
             shape_node_count=i32(flat.shape_node_count),
             shape_tri_start=i32(flat.shape_tri_start),

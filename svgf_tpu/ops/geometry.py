@@ -102,6 +102,71 @@ def ray_aabb(ro, inv_rd, lo, hi, tmax):
     return jnp.where(hit, tn, MAX_LENGTH)
 
 
+# ---------------------------------------------------------------------------
+# Componentwise (SoA) variants — used inside traversal loops where (R,3)
+# tensors would be tile-padded 42x on TPU (trailing dim 3 -> 128 lanes).
+# Every operand is a tuple of three (R,) arrays.
+# ---------------------------------------------------------------------------
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def transform_point3(m, p):
+    """m: (4,4); p: component tuple -> component tuple (w=1, no divide)."""
+    return tuple(
+        m[i, 0] * p[0] + m[i, 1] * p[1] + m[i, 2] * p[2] + m[i, 3] for i in range(3)
+    )
+
+
+def transform_vector3(m, d):
+    """w=0 transform, no normalize (object-space ray dirs)."""
+    return tuple(m[i, 0] * d[0] + m[i, 1] * d[1] + m[i, 2] * d[2] for i in range(3))
+
+
+def ray_triangle_comp(ro, rd, v0, v1, v2):
+    """Moller-Trumbore on component tuples. Returns (t, u, v, hit)."""
+    e1 = sub3(v1, v0)
+    e2 = sub3(v2, v0)
+    h = cross3(rd, e2)
+    a = dot3(e1, h)
+    parallel = jnp.abs(a) < 1e-8
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = sub3(ro, v0)
+    u = f * dot3(s, h)
+    q = cross3(s, e1)
+    v = f * dot3(rd, q)
+    t = f * dot3(e2, q)
+    hit = (~parallel) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-8)
+    return jnp.where(hit, t, MAX_LENGTH), u, v, hit
+
+
+def ray_aabb_comp(ro, inv_rd, lo, hi, tmax):
+    """Slab test on component tuples. Returns entry t or MAX_LENGTH."""
+    tn = jnp.full_like(ro[0], -MAX_LENGTH)
+    tf = jnp.full_like(ro[0], MAX_LENGTH)
+    for k in range(3):
+        t1 = (lo[k] - ro[k]) * inv_rd[k]
+        t2 = (hi[k] - ro[k]) * inv_rd[k]
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+    hit = (tf >= tn) & (tn < tmax) & (tf > 0)
+    return jnp.where(hit, tn, MAX_LENGTH)
+
+
 def luminance(rgb):
     """Rec.709 (Filter.cuh:260-263)."""
     return 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]

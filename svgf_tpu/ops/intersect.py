@@ -25,13 +25,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from svgf_tpu.accel.bvh import MAX_LEAF
 from svgf_tpu.ops.geometry import (
     MAX_LENGTH,
-    ray_aabb,
+    ray_aabb_comp,
     ray_triangle,
+    ray_triangle_comp,
     transform_point,
+    transform_point3,
     transform_vector,
+    transform_vector3,
 )
 
 
@@ -66,14 +68,19 @@ def traverse_shape(scene, shape_id, ro, rd, hit: Hit, instance_id, material_id,
                    active, any_hit: bool = False) -> Hit:
     """Threaded-BVH traversal of one shape for a batch of object-space rays.
 
+    ro / rd are component tuples of (R,) arrays. ALL loop state is strictly
+    1-D: on TPU any (R, 3) tensor in the loop would be tile-padded 42x
+    (3 -> 128 lanes), which blows HBM at 1080p. Single-triangle leaves
+    (accel.bvh.MAX_LEAF == 1) keep the leaf test 1-D as well.
+
     shape_id / instance_id / material_id: scalar traced ints. `active` masks
     rays that participate; inactive rays keep their current hit untouched.
     """
     node_start = scene.shape_node_start[shape_id]
     node_count = scene.shape_node_count[shape_id]
 
-    inv_rd = 1.0 / rd
-    R = ro.shape[0]
+    inv_rd = tuple(1.0 / d for d in rd)
+    R = ro[0].shape[0]
     node0 = jnp.where(active, jnp.zeros(R, jnp.int32), node_count)
 
     def cond(state):
@@ -84,37 +91,25 @@ def traverse_shape(scene, shape_id, ro, rd, hit: Hit, instance_id, material_id,
         node, h = state
         live = node < node_count
         g = node_start + jnp.minimum(node, node_count - 1)  # clamped global node id
-        lo = scene.bvh_node_min[g]
-        hi = scene.bvh_node_max[g]
-        t_box = ray_aabb(ro, inv_rd, lo, hi, h.dist)
+        b = scene.bvh_bounds6[:, g]                         # (6, R)
+        lo = (b[0], b[1], b[2])
+        hi = (b[3], b[4], b[5])
+        t_box = ray_aabb_comp(ro, inv_rd, lo, hi, h.dist)
         box_hit = live & (t_box < MAX_LENGTH)
 
-        count = scene.bvh_tri_count[g]
-        first = scene.bvh_tri_first[g]
-        is_leaf = count > 0
-
-        # --- leaf: up to MAX_LEAF triangle tests as one (R, K) batch ---
-        do_tris = box_hit & is_leaf
-        k = jnp.arange(MAX_LEAF, dtype=jnp.int32)
-        slot = jnp.maximum(first[:, None], 0) + k[None, :]             # (R, K)
-        tri_valid = do_tris[:, None] & (k[None, :] < count[:, None])
-        slot = jnp.clip(slot, 0, scene.bvh_tri_order.shape[0] - 1)
-        tri = scene.bvh_tri_order[slot]                                 # (R, K)
-        verts = scene.tri_pos[tri]                                      # (R, K, 3, 3)
-        t, u, v, m = ray_triangle(
-            ro[:, None, :], rd[:, None, :],
-            verts[..., 0, :], verts[..., 1, :], verts[..., 2, :],
+        leaf_tri = scene.bvh_leaf_tri[g]                    # (R,)
+        is_leaf = leaf_tri >= 0
+        tri = jnp.maximum(leaf_tri, 0)
+        v = scene.tri_verts9[:, tri]                        # (9, R)
+        t, u, vv, m = ray_triangle_comp(
+            ro, rd, (v[0], v[1], v[2]), (v[3], v[4], v[5]), (v[6], v[7], v[8])
         )
-        t = jnp.where(tri_valid & m, t, MAX_LENGTH)                     # (R, K)
-        kbest = jnp.argmin(t, axis=-1)
-        tbest = jnp.take_along_axis(t, kbest[:, None], axis=-1)[:, 0]
-        closer = tbest < h.dist
-        sel = lambda a: jnp.take_along_axis(a, kbest[:, None], axis=-1)[:, 0]
+        closer = box_hit & is_leaf & m & (t < h.dist)
         h = Hit(
-            dist=jnp.where(closer, tbest, h.dist),
-            u=jnp.where(closer, sel(u), h.u),
-            v=jnp.where(closer, sel(v), h.v),
-            prim=jnp.where(closer, sel(tri), h.prim),
+            dist=jnp.where(closer, t, h.dist),
+            u=jnp.where(closer, u, h.u),
+            v=jnp.where(closer, vv, h.v),
+            prim=jnp.where(closer, tri, h.prim),
             instance=jnp.where(closer, instance_id, h.instance),
             material=jnp.where(closer, material_id, h.material),
         )
@@ -130,6 +125,83 @@ def traverse_shape(scene, shape_id, ro, rd, hit: Hit, instance_id, material_id,
     return hit
 
 
+# Scenes whose world-triangle soup is at most this big use the dense
+# zero-gather intersector — on TPU, dense (rays x 128-triangle) broadcast
+# math beats pointer-chasing BVH gathers by orders of magnitude.
+DENSE_MAX_TRIS = 16384
+
+
+def intersect_dense(scene, ro, rd, active=None, any_hit: bool = False,
+                    tmax=None, only_instance=None) -> Hit:
+    """Dense intersection against the pre-transformed world triangle soup.
+
+    Every op is a (R, 128) broadcast over ray components x triangle chunks —
+    no gathers inside the loop, perfect (8,128) tiling, pure VPU work.
+    """
+    R = ro.shape[0]
+    tw = scene.world_tris9.shape[1]
+    if only_instance is not None:
+        start, count = scene.meta.inst_world_range[only_instance]
+        c0 = (start // 128) * 128
+        c1 = -(-(start + count) // 128) * 128
+    else:
+        c0, c1 = 0, tw
+    n_chunks = (c1 - c0) // 128
+
+    roc = tuple(ro[:, k][:, None] for k in range(3))   # (R, 1) each
+    rdc = tuple(rd[:, k][:, None] for k in range(3))
+
+    t0 = jnp.full((R,), MAX_LENGTH, jnp.float32)
+    if tmax is not None:
+        t0 = jnp.broadcast_to(tmax, (R,)).astype(jnp.float32)
+    carry0 = (t0, jnp.zeros((R,), jnp.float32), jnp.zeros((R,), jnp.float32),
+              jnp.zeros((R,), jnp.int32))
+
+    def chunk_step(c, carry):
+        tb, ub, vb, ib = carry
+        off = c0 + c * 128
+        v = jax.lax.dynamic_slice(scene.world_tris9, (0, off), (9, 128))
+        ids = jax.lax.dynamic_slice(scene.world_tri_inst, (off,), (128,))
+        valid_tri = ids >= 0
+        if only_instance is not None:
+            valid_tri = ids == only_instance
+        row = lambda k: v[k][None, :]                   # (1, 128)
+        t, u, vv, m = ray_triangle_comp(
+            roc, rdc,
+            (row(0), row(1), row(2)), (row(3), row(4), row(5)), (row(6), row(7), row(8)),
+        )                                                # (R, 128)
+        t = jnp.where(m & valid_tri[None, :], t, MAX_LENGTH)
+        j = jnp.argmin(t, axis=-1)
+        sel = lambda a: jnp.take_along_axis(a, j[:, None], axis=-1)[:, 0]
+        tc = sel(t)
+        closer = tc < tb
+        return (
+            jnp.where(closer, tc, tb),
+            jnp.where(closer, sel(u), ub),
+            jnp.where(closer, sel(vv), vb),
+            jnp.where(closer, off + j.astype(jnp.int32), ib),
+        )
+
+    tb, ub, vb, ib = jax.lax.fori_loop(0, n_chunks, chunk_step, carry0)
+    ok = tb < (t0 if tmax is not None else MAX_LENGTH)
+    ib = jnp.clip(ib, 0, tw - 1)
+    hit = Hit(
+        dist=tb,
+        u=ub,
+        v=vb,
+        prim=scene.world_tri_prim[ib],
+        instance=jnp.where(ok, scene.world_tri_inst[ib], 0),
+        material=scene.world_tri_mat[ib],
+    )
+    if active is not None:
+        hit = Hit(
+            dist=jnp.where(active, hit.dist, t0),
+            u=hit.u, v=hit.v, prim=hit.prim,
+            instance=hit.instance, material=hit.material,
+        )
+    return hit
+
+
 def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
                     tmax=None, only_instance=None) -> Hit:
     """Closest-hit (or any-hit) intersection of world-space rays with the scene.
@@ -137,7 +209,14 @@ def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
     ro, rd: (R, 3). `only_instance`: restrict to one instance id (static int) —
     used by SampleLightsPDF, which re-traces against each light instance
     (reference Common.cuh:635-715 via IntersectInstance).
+
+    Dispatches to the dense soup intersector for small scenes (static
+    decision baked into the trace) and to the threaded-BVH traversal
+    otherwise.
     """
+    if 0 < scene.meta.n_world_tris <= DENSE_MAX_TRIS:
+        return intersect_dense(scene, ro, rd, active=active, any_hit=any_hit,
+                               tmax=tmax, only_instance=only_instance)
     R = ro.shape[0]
     hit = Hit.none((R,))
     if tmax is not None:
@@ -145,10 +224,14 @@ def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
     if active is None:
         active = jnp.ones((R,), jnp.bool_)
 
+    # decompose to component tuples once (1-D arrays tile perfectly on TPU)
+    roc = (ro[:, 0], ro[:, 1], ro[:, 2])
+    rdc = (rd[:, 0], rd[:, 1], rd[:, 2])
+
     def step(h, i):
         inv = scene.inst_inv_transform[i]
-        ro_o = transform_point(inv, ro)
-        rd_o = transform_vector(inv, rd)  # NOT normalized (world-unit t)
+        ro_o = transform_point3(inv, roc)
+        rd_o = transform_vector3(inv, rdc)  # NOT normalized (world-unit t)
         h = traverse_shape(
             scene, scene.inst_shape[i], ro_o, rd_o, h,
             i, scene.inst_material[i], active, any_hit=any_hit,

@@ -167,6 +167,55 @@ def pathtrace(
     return radiance * scale[..., None], first_normal
 
 
+def pathtrace_chunked(
+    scene,
+    ro,
+    rd,
+    key,
+    bounces: int = 3,
+    clamp: float = 10.0,
+    mode: SamplingMode = SamplingMode.MIS,
+    first_hit: Hit | None = None,
+    num_chunks: int = 1,
+):
+    """Run the wavefront in `num_chunks` sequential chunks via lax.map.
+
+    Peak HBM of the shading stage scales with the live lane count; at 1080p
+    a single 2M-lane wavefront exceeds one chip's HBM, so the frame is
+    processed as a pipeline of smaller wavefronts (the body compiles once).
+    """
+    if num_chunks <= 1:
+        return pathtrace(scene, ro, rd, key, bounces, clamp, mode, first_hit)
+    R = ro.shape[0]
+    rc = -(-R // num_chunks)
+    pad = rc * num_chunks - R
+
+    def pad_r(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    ro_r = pad_r(ro).reshape(num_chunks, rc, 3)
+    rd_r = pad_r(rd).reshape(num_chunks, rc, 3)
+    fh_r = (
+        jax.tree.map(lambda x: pad_r(x).reshape(num_chunks, rc), first_hit)
+        if first_hit is not None
+        else None
+    )
+
+    def body(args):
+        i, ro_c, rd_c, fh_c = args
+        rad, n = pathtrace(
+            scene, ro_c, rd_c, jax.random.fold_in(key, 7919 + i),
+            bounces, clamp, mode, fh_c,
+        )
+        return rad, n
+
+    idx = jnp.arange(num_chunks, dtype=jnp.int32)
+    rad, n = jax.lax.map(body, (idx, ro_r, rd_r, fh_r))
+    return rad.reshape(-1, 3)[:R], n.reshape(-1, 3)[:R]
+
+
 def _handle_miss(scene, state: PathState, hit: Hit):
     miss = state.active & (hit.dist >= MAX_LENGTH)
     if scene.meta.n_envs > 0:

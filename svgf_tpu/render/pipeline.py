@@ -25,7 +25,7 @@ from svgf_tpu.config import DebugOutput, RenderConfig
 from svgf_tpu.ops.geometry import to_srgb
 from svgf_tpu.render import svgf
 from svgf_tpu.render.gbuffer import camera_rays, gbuffer_first_hit, raster_gbuffer
-from svgf_tpu.render.pathtrace import pathtrace
+from svgf_tpu.render.pathtrace import pathtrace_chunked
 from svgf_tpu.render.types import FrameOutputs, GBuffer, TemporalState
 
 
@@ -51,7 +51,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
             )
             first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
-            sample, _ = pathtrace(
+            sample, _ = pathtrace_chunked(
                 scene,
                 ro,
                 rd,
@@ -60,6 +60,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 clamp=config.tracing.clamp,
                 mode=config.tracing.sampling_mode,
                 first_hit=first_hit,
+                num_chunks=config.trace_chunks,
             )
             radiance = radiance + sample / config.tracing.batch
     radiance = radiance.reshape(h, w, 3)

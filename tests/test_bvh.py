@@ -7,13 +7,24 @@ import pytest
 import functools
 
 import jax
+import jax.numpy as jnp
 
+import svgf_tpu.ops.intersect as intersect_mod
 from svgf_tpu.accel.bvh import MAX_LEAF, build_blas
-from svgf_tpu.ops.intersect import intersect_brute_force, intersect_scene
+from svgf_tpu.ops.intersect import intersect_brute_force
 from svgf_tpu.scenes import cornell_box
 
-intersect_scene = jax.jit(intersect_scene, static_argnames=("any_hit", "only_instance"))
 intersect_brute_force = jax.jit(intersect_brute_force)
+
+
+@pytest.fixture(params=["dense", "bvh"])
+def intersect_scene(request, monkeypatch):
+    """Exercise BOTH intersectors (dense soup + threaded BVH)."""
+    if request.param == "bvh":
+        monkeypatch.setattr(intersect_mod, "DENSE_MAX_TRIS", 0)
+    return jax.jit(
+        intersect_mod.intersect_scene, static_argnames=("any_hit", "only_instance")
+    )
 
 
 def random_tris(n, seed=0):
@@ -74,7 +85,7 @@ def _camera_rays(n, seed=0):
     return jnp.asarray(ro), jnp.asarray(d, jnp.float32)
 
 
-def test_bvh_matches_brute_force(cornell_arrays):
+def test_bvh_matches_brute_force(cornell_arrays, intersect_scene):
     ro, rd = _camera_rays(512)
     h_bvh = intersect_scene(cornell_arrays, ro, rd)
     h_ref = intersect_brute_force(cornell_arrays, ro, rd)
@@ -88,7 +99,7 @@ def test_bvh_matches_brute_force(cornell_arrays):
     )
 
 
-def test_bvh_random_dirs_match(cornell_arrays):
+def test_bvh_random_dirs_match(cornell_arrays, intersect_scene):
     rng = np.random.default_rng(7)
     n = 512
     ro = jnp.asarray(rng.uniform(-0.9, 0.9, size=(n, 3)), jnp.float32)
@@ -100,7 +111,7 @@ def test_bvh_random_dirs_match(cornell_arrays):
     np.testing.assert_allclose(h_bvh.dist, h_ref.dist, rtol=1e-4, atol=1e-5)
 
 
-def test_any_hit_consistency(cornell_arrays):
+def test_any_hit_consistency(cornell_arrays, intersect_scene):
     ro, rd = _camera_rays(256, seed=2)
     h_any = intersect_scene(cornell_arrays, ro, rd, any_hit=True)
     h_close = intersect_scene(cornell_arrays, ro, rd)
@@ -108,7 +119,7 @@ def test_any_hit_consistency(cornell_arrays):
     np.testing.assert_array_equal(np.asarray(h_any.valid), np.asarray(h_close.valid))
 
 
-def test_tmax_occlusion(cornell_arrays):
+def test_tmax_occlusion(cornell_arrays, intersect_scene):
     # rays from the center toward the light: unoccluded until the light quad
     n = 8
     ro = jnp.tile(jnp.array([[0.0, -0.5, 0.5]], jnp.float32), (n, 1))
