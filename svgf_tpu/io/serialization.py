@@ -1,0 +1,149 @@
+"""Scene + temporal-state (de)serialization.
+
+The reference checkpoints only the scene (custom binary, Scene.cpp:515-651)
+and never the filter history. Here:
+  * scenes round-trip through npz (the idiomatic flat-array form);
+  * TemporalState checkpoints (colour/moments/history/TAA/G-buffer + frame
+    index) make orbit sequences resumable deterministically (SURVEY.md §5
+    checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svgf_tpu.core.camera import Camera
+from svgf_tpu.core.scene import Environment, Instance, Material, MaterialType, Scene, Shape
+from svgf_tpu.render.types import GBuffer, TemporalState
+
+
+def save_scene_npz(path: str, scene: Scene) -> None:
+    data: dict = {}
+    data["n_shapes"] = len(scene.shapes)
+    data["n_instances"] = len(scene.instances)
+    data["n_materials"] = len(scene.materials)
+    data["n_cameras"] = len(scene.cameras)
+    data["n_envs"] = len(scene.environments)
+    data["n_envtex"] = len(scene.env_textures)
+    for i, s in enumerate(scene.shapes):
+        data[f"shape{i}_pos"] = np.asarray(s.positions, np.float32)
+        data[f"shape{i}_idx"] = np.asarray(s.indices, np.int32)
+        if s.normals is not None:
+            data[f"shape{i}_nrm"] = np.asarray(s.normals, np.float32)
+        if s.uvs is not None:
+            data[f"shape{i}_uv"] = np.asarray(s.uvs, np.float32)
+        data[f"shape{i}_name"] = np.bytes_(s.name.encode())
+    for i, inst in enumerate(scene.instances):
+        data[f"inst{i}"] = np.asarray(inst.transform, np.float32)
+        data[f"inst{i}_ids"] = np.asarray([inst.shape, inst.material], np.int32)
+        data[f"inst{i}_name"] = np.bytes_(inst.name.encode())
+    for i, m in enumerate(scene.materials):
+        data[f"mat{i}"] = np.asarray(
+            list(m.emission) + list(m.colour)
+            + [m.roughness, m.metallic, m.anisotropy, float(m.material_type),
+               m.opacity, m.transmission_depth]
+            + list(m.scattering_colour),
+            np.float32,
+        )
+    for i, c in enumerate(scene.cameras):
+        data[f"cam{i}_frame"] = c.frame
+        data[f"cam{i}_prev"] = c.previous_frame
+        data[f"cam{i}_meta"] = np.asarray([c.fov, c.aspect], np.float32)
+    for i, e in enumerate(scene.environments):
+        data[f"env{i}_t"] = np.asarray(e.transform, np.float32)
+        data[f"env{i}_meta"] = np.asarray(
+            list(e.emission) + [float(e.emission_texture)], np.float32
+        )
+    for i, t in enumerate(scene.env_textures):
+        data[f"envtex{i}"] = np.asarray(t, np.float32)
+    np.savez_compressed(path, **data)
+
+
+def load_scene_npz(path: str) -> Scene:
+    z = np.load(path, allow_pickle=False)
+    scene = Scene()
+    for i in range(int(z["n_shapes"])):
+        scene.shapes.append(
+            Shape(
+                positions=z[f"shape{i}_pos"],
+                indices=z[f"shape{i}_idx"],
+                normals=z[f"shape{i}_nrm"] if f"shape{i}_nrm" in z else None,
+                uvs=z[f"shape{i}_uv"] if f"shape{i}_uv" in z else None,
+                name=bytes(z[f"shape{i}_name"]).decode(),
+            )
+        )
+    for i in range(int(z["n_instances"])):
+        ids = z[f"inst{i}_ids"]
+        scene.instances.append(
+            Instance(
+                shape=int(ids[0]), material=int(ids[1]),
+                transform=z[f"inst{i}"],
+                name=bytes(z[f"inst{i}_name"]).decode(),
+            )
+        )
+    for i in range(int(z["n_materials"])):
+        v = z[f"mat{i}"]
+        scene.materials.append(
+            Material(
+                emission=tuple(v[0:3]), colour=tuple(v[3:6]),
+                roughness=float(v[6]), metallic=float(v[7]), anisotropy=float(v[8]),
+                material_type=MaterialType(int(v[9])), opacity=float(v[10]),
+                transmission_depth=float(v[11]), scattering_colour=tuple(v[12:15]),
+            )
+        )
+    for i in range(int(z["n_cameras"])):
+        meta = z[f"cam{i}_meta"]
+        scene.cameras.append(
+            Camera(
+                frame=z[f"cam{i}_frame"], previous_frame=z[f"cam{i}_prev"],
+                fov=float(meta[0]), aspect=float(meta[1]),
+            )
+        )
+    for i in range(int(z["n_envs"])):
+        meta = z[f"env{i}_meta"]
+        scene.environments.append(
+            Environment(
+                transform=z[f"env{i}_t"], emission=tuple(meta[0:3]),
+                emission_texture=int(meta[3]),
+            )
+        )
+    for i in range(int(z["n_envtex"])):
+        scene.env_textures.append(z[f"envtex{i}"])
+    return scene
+
+
+# ---------------------------------------------------------------------------
+# temporal-state checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TemporalState) -> None:
+    g = state.gbuffer
+    np.savez_compressed(
+        path,
+        color=np.asarray(state.color), moments=np.asarray(state.moments),
+        history_len=np.asarray(state.history_len),
+        taa_history=np.asarray(state.taa_history),
+        frame_idx=np.asarray(state.frame_idx),
+        **{f"g_{k}": np.asarray(v) for k, v in g._asdict().items()},
+    )
+
+
+def load_checkpoint(path: str, dtype=None) -> TemporalState:
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
+    gb = GBuffer(
+        **{
+            k: (cast(z[f"g_{k}"]) if np.issubdtype(z[f"g_{k}"].dtype, np.floating)
+                else jnp.asarray(z[f"g_{k}"]))
+            for k in GBuffer._fields
+        }
+    )
+    return TemporalState(
+        color=cast(z["color"]), moments=cast(z["moments"]),
+        history_len=jnp.asarray(z["history_len"]),
+        taa_history=cast(z["taa_history"]),
+        gbuffer=gb, frame_idx=jnp.asarray(z["frame_idx"]),
+    )

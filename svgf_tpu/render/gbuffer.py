@@ -24,21 +24,27 @@ from svgf_tpu.ops.lights import _interp
 from svgf_tpu.render.types import GBuffer
 
 
-def camera_rays(cam_frame, cam_proj, h: int, w: int, jitter=None):
+def camera_rays(cam_frame, cam_proj, h: int, w: int, jitter=None,
+                row0=0, h_total=None):
     """Primary rays through pixel centers (+ optional per-pixel jitter).
 
     Matches reference GetRay (Common.cuh:333-343): unproject NDC through the
     inverse projection, transform by the camera frame. With glm::perspective
     this reduces to dir_cam = ((2u-1)/P00, (2v-1)/P11, -1).
+
+    row0/h_total support row-band rendering on a sharded mesh: rays are for
+    global rows [row0, row0+h) of an h_total-row image.
     """
-    r = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    if h_total is None:
+        h_total = h
+    r = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
     c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     if jitter is None:
         jx = jy = 0.0
     else:
         jx, jy = jitter[..., 0], jitter[..., 1]
     u = (c + 0.5 + jx) / w
-    v = 1.0 - (r + 0.5 + jy) / h     # NDC y is up
+    v = 1.0 - (r + 0.5 + jy) / h_total     # NDC y is up
     x = (2.0 * u - 1.0) / cam_proj[0, 0]
     y = (2.0 * v - 1.0) / cam_proj[1, 1]
     d = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
@@ -60,12 +66,17 @@ def project_to_pixel(cam_frame, cam_proj, pos, h: int, w: int):
     return px, py
 
 
-def raster_gbuffer(scene, cam_idx: int, h: int, w: int) -> GBuffer:
-    """Trace primary visibility and fill every G-buffer channel."""
+def raster_gbuffer(scene, cam_idx: int, h: int, w: int, row0=0, h_total=None) -> GBuffer:
+    """Trace primary visibility and fill every G-buffer channel.
+
+    row0/h_total render only the row band [row0, row0+h) of an h_total-row
+    image (sharded mesh path)."""
+    if h_total is None:
+        h_total = h
     frame = scene.cam_frame[cam_idx]
     prev_frame = scene.cam_prev_frame[cam_idx]
     proj = scene.cam_proj[cam_idx]
-    ro, rd = camera_rays(frame, proj, h, w)
+    ro, rd = camera_rays(frame, proj, h, w, row0=row0, h_total=h_total)
     hit: Hit = intersect_scene(scene, ro, rd)
     ok = hit.dist < MAX_LENGTH
 
@@ -79,8 +90,8 @@ def raster_gbuffer(scene, cam_idx: int, h: int, w: int) -> GBuffer:
     cam_pos = frame[:3, 3]
     depth = jnp.linalg.norm(pos - cam_pos, axis=-1)
 
-    px_cur, py_cur = project_to_pixel(frame, proj, pos, h, w)
-    px_prev, py_prev = project_to_pixel(prev_frame, proj, pos, h, w)
+    px_cur, py_cur = project_to_pixel(frame, proj, pos, h_total, w)
+    px_prev, py_prev = project_to_pixel(prev_frame, proj, pos, h_total, w)
     motion = jnp.stack([px_prev - px_cur, py_prev - py_cur], axis=-1)
 
     z = jnp.where(ok, depth, 0.0).reshape(h, w)

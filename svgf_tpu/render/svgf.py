@@ -110,18 +110,23 @@ def temporal_filter(
     depth_threshold: float,
     normal_threshold: float,
     history_base_length: int,
+    row0=0,
 ) -> TemporalResult:
+    """`row0`: global row of this band's first row (sharded path); the prev_*
+    arrays and prev_gbuf always cover the FULL image (reprojection may gather
+    anywhere, so previous-frame state is all-gathered across shards)."""
     h, w = current.shape[:2]
+    h_prev = prev_color.shape[0]
     cur = load01(current[..., :3])
 
     # --- reprojection (LoadPreviousData) ---
     motion = gbuf.motion.astype(jnp.float32)
-    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
     c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     # ivec2 cast truncates toward zero (Filter.cuh:232); motion is (x, y)
     px = c + motion[..., 0].astype(jnp.int32)
     py = r + motion[..., 1].astype(jnp.int32)
-    on_screen = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    on_screen = (px >= 0) & (px < w) & (py >= 0) & (py < h_prev)
 
     z_cur = get_depth(gbuf.depth)
     z_prev = _gather2d(get_depth(prev_gbuf.depth), py, px)
