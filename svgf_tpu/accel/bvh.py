@@ -118,7 +118,31 @@ def _node_area(lo: np.ndarray, hi: np.ndarray) -> float:
 
 
 def build_blas(tri_pos: np.ndarray) -> BLAS:
-    """Build a threaded BVH over triangles given as (T, 3, 3) vertex positions."""
+    """Build a threaded BVH over triangles given as (T, 3, 3) vertex positions.
+
+    Uses the native C++ builder (native/bvh_builder.cpp, built via
+    `make -C native`) when available; the NumPy path below is the reference
+    implementation. Set SVGF_NATIVE=0 to force NumPy.
+    """
+    import os
+
+    if os.environ.get("SVGF_NATIVE", "1") != "0" and np.asarray(tri_pos).shape[0] > 0:
+        from svgf_tpu.accel.native import build_blas_native
+
+        res = build_blas_native(np.asarray(tri_pos, np.float32))
+        if res is not None:
+            node_min, node_max, skip, leaf_tri = res
+            leaves = leaf_tri >= 0
+            tri_first = np.where(leaves, np.cumsum(leaves) - 1, -1).astype(np.int32)
+            return BLAS(
+                node_min=node_min,
+                node_max=node_max,
+                skip=skip.astype(np.int32),
+                tri_first=tri_first,
+                tri_count=leaves.astype(np.int32),
+                tri_order=leaf_tri[leaves].astype(np.int32),
+            )
+
     tri_pos = np.asarray(tri_pos, dtype=np.float64)
     T = tri_pos.shape[0]
     assert T > 0, "cannot build a BVH over zero triangles"

@@ -87,7 +87,20 @@ class Shape:
         if self.uvs is None:
             self.uvs = np.zeros((P.shape[0], 2), dtype=np.float32)
         if self.tangents is None:
-            self.tangents = _lengyel_tangents(P, np.asarray(self.normals), np.asarray(self.uvs), F)
+            import os
+
+            self.tangents = None
+            if os.environ.get("SVGF_NATIVE", "1") != "0":
+                from svgf_tpu.accel.native import tangents_native
+
+                self.tangents = tangents_native(
+                    P, np.asarray(self.normals, np.float32),
+                    np.asarray(self.uvs, np.float32), F.astype(np.int32),
+                )
+            if self.tangents is None:
+                self.tangents = _lengyel_tangents(
+                    P, np.asarray(self.normals), np.asarray(self.uvs), F
+                )
 
         self.tri_pos = P[F]                                   # (F,3,3)
         self.tri_nrm = np.asarray(self.normals, np.float32)[F]
