@@ -188,6 +188,10 @@ class SceneMeta:
     env_tex: tuple             # per environment: emission texture id or -1
     n_world_tris: int = 0      # unpadded world-triangle-soup size
     inst_world_range: tuple = ()  # per instance: (start, count) in the soup
+    # static capability flags: when False the tracer compiles the media /
+    # opacity machinery out entirely (zero cost for plain surface scenes)
+    has_media: bool = False    # any VOLUMETRIC/GLASS/SUBSURFACE material
+    has_opacity: bool = False  # any material with opacity < 1
 
 
 @jax.tree_util.register_dataclass
@@ -375,6 +379,12 @@ class Scene:
             env_tex=tuple(int(e.emission_texture) for e in self.environments),
             n_world_tris=tw,
             inst_world_range=tuple(inst_ws),
+            has_media=any(
+                m.material_type in (MaterialType.VOLUMETRIC, MaterialType.GLASS,
+                                    MaterialType.SUBSURFACE)
+                for m in self.materials
+            ),
+            has_opacity=any(m.opacity < 1.0 for m in self.materials),
         )
 
         f32 = lambda x: jnp.asarray(x, dtype)

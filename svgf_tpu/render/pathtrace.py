@@ -18,6 +18,14 @@ Faithful reproductions:
     orientation test, :276) while the NEE branch uses EvalEmission (:256).
   * simpler BSDF/LIGHT/BOTH estimators (PathTrace.cuh:353-556).
 
+Participating media (PathTrace.cuh:187-202, 295-335) and opacity
+pass-through (:219-226) are wavefronted too, gated on the static scene
+flags `meta.has_media` / `meta.has_opacity` so plain surface scenes compile
+none of that machinery: per-lane medium state (inside flag + the active
+volume's density/scattering/anisotropy), transmittance-sampled scatter
+distance, 50/50 phase-vs-light direction with the mixed pdf, and the
+volume-stack toggle on transmissive boundary crossings.
+
 Documented deviations:
   * deterministic jax.random fields instead of time-seeded PCG
     (PathTrace.cuh:589-592) — required for reproducibility and gradients;
@@ -25,9 +33,10 @@ Documented deviations:
     reference's NaN-then-scrub-to-black behavior (Common.cuh:245 quirk);
   * when the MIS-sample condition fails the next bounce re-traces instead
     of reusing a stale MisIntersection (reference keeps a stale flag);
-  * opacity pass-through and in-volume scattering are not yet wavefronted
-    (reference :187-202, :220-226); scenes with opacity==1 and no
-    volumetric media — including every shipped scene — are unaffected.
+  * an opacity pass-through consumes a bounce (the reference replays the
+    bounce index, `Bounce--; continue`, up to 128 times :220-226 — a
+    data-dependent trip count that cannot be a fixed wavefront step);
+    raise `bounces` to compensate for heavily-transparent scenes.
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ from svgf_tpu.config import SamplingMode
 from svgf_tpu.ops import bsdf as B
 from svgf_tpu.ops.geometry import MAX_LENGTH, dot, normalize, transform_point, transform_vector
 from svgf_tpu.ops.intersect import Hit, intersect_scene
+from svgf_tpu.ops import media as M
 from svgf_tpu.ops.lights import _interp, eval_environment, sample_lights, sample_lights_pdf
 from svgf_tpu.ops.sampling import RngStream, power_heuristic
 
@@ -90,6 +100,62 @@ class PathState(NamedTuple):
     use_mis: jax.Array    # (R,) bool
     ro: jax.Array         # (R,3)
     rd: jax.Array         # (R,3)
+    # medium stack (depth 1, like the reference's single VolumeMaterial,
+    # PathTrace.cuh:158-159): XLA DCEs these when meta.has_media is False
+    in_volume: jax.Array       # (R,) bool
+    vol_density: jax.Array     # (R,3)
+    vol_scattering: jax.Array  # (R,3)
+    vol_anisotropy: jax.Array  # (R,)
+
+
+def _sample_medium(state: PathState, hit: Hit, rng: RngStream):
+    """Transmittance-sample a scatter distance for in-volume lanes
+    (PathTrace.cuh:187-202). Returns (state, stay_in_volume, distance)."""
+    R = state.ro.shape[0]
+    in_vol = state.active & state.in_volume
+    dist = M.sample_transmittance(
+        state.vol_density, hit.dist, rng.uniform((R,)), rng.uniform((R,))
+    )
+    # the event distance is a *sample*: pathwise gradients treat it as a
+    # constant (SURVEY.md §7.1 — stop-grad sampled/discrete choices; the
+    # boundary/score term is omitted, standard for differentiable volume
+    # rendering). Differentiating through it re-enters the traversal
+    # geometry and NaNs.
+    dist = jax.lax.stop_gradient(dist)
+    w = M.eval_transmittance(state.vol_density, dist) / jnp.maximum(
+        M.sample_transmittance_pdf(state.vol_density, dist, hit.dist), 1e-20
+    )[..., None]
+    weight = jnp.where(in_vol[..., None], state.weight * w, state.weight)
+    stay = in_vol & (dist < hit.dist)
+    return state._replace(weight=weight), stay, dist
+
+
+def _volume_scatter(scene, state: PathState, dist, rng: RngStream):
+    """In-volume scatter event (PathTrace.cuh:308-335): 50/50 phase-function
+    vs light-direction sampling, weighted by the mixed pdf. Returns
+    (position, incoming, weight_multiplier, broke)."""
+    R = state.ro.shape[0]
+    pos = state.ro + state.rd * dist[..., None]
+    outgoing = -state.rd
+    use_phase = rng.uniform((R,)) > 0.5
+    rng.uniform((R,))  # the reference's unused RNL draw (Common.cuh:1145)
+    dir_p = M.sample_phase(
+        state.vol_density, state.vol_anisotropy, outgoing, rng.uniform2((R,))
+    )
+    dir_l = sample_lights(
+        scene, pos, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
+    )
+    incoming = jnp.where(use_phase[..., None], dir_p, dir_l)
+    broke = jnp.all(incoming == 0.0, axis=-1)
+    ppdf = M.sample_phase_pdf(
+        state.vol_density, state.vol_anisotropy, outgoing, incoming
+    )
+    lpdf = sample_lights_pdf(scene, pos, incoming)
+    w = M.eval_phase(
+        state.vol_scattering, state.vol_density, state.vol_anisotropy,
+        outgoing, incoming,
+    ) / jnp.maximum(0.5 * ppdf + 0.5 * lpdf, 1e-20)[..., None]
+    return pos, incoming, w, broke
 
 
 def pathtrace(
@@ -111,6 +177,10 @@ def pathtrace(
         use_mis=jnp.zeros((R,), jnp.bool_),
         ro=ro,
         rd=rd,
+        in_volume=jnp.zeros((R,), jnp.bool_),
+        vol_density=jnp.zeros((R, 3), jnp.float32),
+        vol_scattering=jnp.zeros((R, 3), jnp.float32),
+        vol_anisotropy=jnp.zeros((R,), jnp.float32),
     )
     first_normal = jnp.zeros((R, 3), jnp.float32)
 
@@ -231,13 +301,29 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     state = _handle_miss(scene, state, hit)
     act = state.active
 
+    # medium event: in-volume lanes may scatter before reaching the surface
+    if scene.meta.has_media:
+        state, stay, vol_dist = _sample_medium(state, hit, rng)
+    else:
+        stay = jnp.zeros((R,), jnp.bool_)
+        vol_dist = hit.dist
+    surf = act & ~stay
+
     outgoing = -state.rd
     sh = _shading_point(scene, hit, outgoing)
     mp, normal, position = sh.mp, sh.normal, sh.position
 
+    # opacity pass-through (PathTrace.cuh:219-226)
+    if scene.meta.has_opacity:
+        passthrough = surf & (mp.opacity < 1.0) & (rng.uniform((R,)) >= mp.opacity)
+        shade = surf & ~passthrough
+    else:
+        passthrough = jnp.zeros((R,), jnp.bool_)
+        shade = surf
+
     # emission (only when the MIS bsdf branch didn't already account for it)
     emit = B.eval_emission(mp, normal, outgoing)
-    add_emit = act & ~state.use_mis
+    add_emit = shade & ~state.use_mis
     radiance = state.radiance + jnp.where(add_emit[..., None], state.weight * emit, 0.0)
 
     delta = B.is_delta(mp)
@@ -254,7 +340,7 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l)
     misw_l = power_heuristic(lpdf_l, bpdf_l) / jnp.maximum(lpdf_l, 1e-20)
     nee_ok = (
-        act & ~delta & ~l_zero & (lpdf_l > 0)
+        shade & ~delta & ~l_zero & (lpdf_l > 0)
         & jnp.any(bsdf_l != 0.0, axis=-1) & (misw_l != 0)
     )
     shadow = intersect_scene(scene, shifted_l, dir_l, active=nee_ok)
@@ -278,7 +364,7 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b)
     misw_b = power_heuristic(bpdf_b, lpdf_b) / jnp.maximum(bpdf_b, 1e-20)
     mis_cond = (
-        act & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
+        shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
         & jnp.any(bsdf_b != 0.0, axis=-1) & (misw_b != 0)
     )
     mis_hit = intersect_scene(scene, shifted_b, dir_b, active=mis_cond)
@@ -314,10 +400,43 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     )
     # lanes break when their sampled direction is zero (:241,:264)
     broke = jnp.where(delta, d_zero, b_zero | l_zero)
-    active = act & ~broke
     use_mis = jnp.where(delta, False, mis_cond)
-
     new_ro = _offset_origin(position, normal, incoming)
+
+    in_volume = state.in_volume
+    vol_density, vol_scattering, vol_anisotropy = (
+        state.vol_density, state.vol_scattering, state.vol_anisotropy
+    )
+    if scene.meta.has_media:
+        # volume-stack toggle on transmissive crossings (PathTrace.cuh:295-302)
+        enter = (
+            shade & ~broke & B.is_volumetric(mp)
+            & (dot(normal, outgoing) * dot(normal, incoming) < 0)
+        )
+        in_volume = jnp.where(enter, ~state.in_volume, state.in_volume)
+        vol_density = jnp.where(enter[..., None], mp.density, vol_density)
+        vol_scattering = jnp.where(enter[..., None], mp.scattering, vol_scattering)
+        vol_anisotropy = jnp.where(enter, mp.anisotropy, vol_anisotropy)
+
+        # in-volume scatter event replaces the surface interaction
+        vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
+        incoming = jnp.where(stay[..., None], vdir, incoming)
+        new_weight = jnp.where(stay[..., None], state.weight * vw, new_weight)
+        new_ro = jnp.where(stay[..., None], vpos, new_ro)
+        broke = jnp.where(stay, vbroke, broke)
+        use_mis = jnp.where(stay, False, use_mis)
+
+    if scene.meta.has_opacity:
+        # pass through the surface, direction unchanged (PathTrace.cuh:222-226)
+        incoming = jnp.where(passthrough[..., None], state.rd, incoming)
+        new_weight = jnp.where(passthrough[..., None], state.weight, new_weight)
+        new_ro = jnp.where(
+            passthrough[..., None], position + state.rd * 1e-2, new_ro
+        )
+        broke = jnp.where(passthrough, False, broke)
+        use_mis = jnp.where(passthrough, False, use_mis)
+
+    active = act & ~broke
     new_state = PathState(
         radiance=radiance,
         weight=jnp.where(act[..., None], new_weight, state.weight),
@@ -325,6 +444,10 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         use_mis=jnp.where(act, use_mis, state.use_mis),
         ro=jnp.where(act[..., None], new_ro, state.ro),
         rd=jnp.where(act[..., None], incoming, state.rd),
+        in_volume=jnp.where(act, in_volume, state.in_volume),
+        vol_density=vol_density,
+        vol_scattering=vol_scattering,
+        vol_anisotropy=vol_anisotropy,
     )
     has_next = new_state.active & use_mis
     return new_state, mis_hit, has_next
@@ -332,17 +455,32 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
 
 def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int,
                    mode: SamplingMode):
-    """BSDF / LIGHT / BOTH estimators (PathTrace.cuh:353-556)."""
+    """BSDF / LIGHT / BOTH estimators (PathTrace.cuh:353-556), with the same
+    media (:396-411, :504-540) and opacity (:430-437) handling as MIS."""
     R = state.ro.shape[0]
     state = _handle_miss(scene, state, hit)
     act = state.active
+
+    if scene.meta.has_media:
+        state, stay, vol_dist = _sample_medium(state, hit, rng)
+    else:
+        stay = jnp.zeros((R,), jnp.bool_)
+        vol_dist = hit.dist
+    surf = act & ~stay
 
     outgoing = -state.rd
     sh = _shading_point(scene, hit, outgoing)
     mp, normal, position = sh.mp, sh.normal, sh.position
 
+    if scene.meta.has_opacity:
+        passthrough = surf & (mp.opacity < 1.0) & (rng.uniform((R,)) >= mp.opacity)
+        shade = surf & ~passthrough
+    else:
+        passthrough = jnp.zeros((R,), jnp.bool_)
+        shade = surf
+
     emit = B.eval_emission(mp, normal, outgoing)
-    radiance = state.radiance + jnp.where(act[..., None], state.weight * emit, 0.0)
+    radiance = state.radiance + jnp.where(shade[..., None], state.weight * emit, 0.0)
 
     delta = B.is_delta(mp)
 
@@ -387,14 +525,47 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
     incoming = jnp.where(delta[..., None], dir_d, incoming_nd)
     w_mult = jnp.where(delta[..., None], w_delta, w_nd)
     broke = jnp.where(delta, d_zero, broke_nd)
-
     new_ro = _offset_origin(position, normal, incoming)
+    new_weight = state.weight * w_mult
+
+    in_volume = state.in_volume
+    vol_density, vol_scattering, vol_anisotropy = (
+        state.vol_density, state.vol_scattering, state.vol_anisotropy
+    )
+    if scene.meta.has_media:
+        enter = (
+            shade & ~broke & B.is_volumetric(mp)
+            & (dot(normal, outgoing) * dot(normal, incoming) < 0)
+        )
+        in_volume = jnp.where(enter, ~state.in_volume, state.in_volume)
+        vol_density = jnp.where(enter[..., None], mp.density, vol_density)
+        vol_scattering = jnp.where(enter[..., None], mp.scattering, vol_scattering)
+        vol_anisotropy = jnp.where(enter, mp.anisotropy, vol_anisotropy)
+
+        vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
+        incoming = jnp.where(stay[..., None], vdir, incoming)
+        new_weight = jnp.where(stay[..., None], state.weight * vw, new_weight)
+        new_ro = jnp.where(stay[..., None], vpos, new_ro)
+        broke = jnp.where(stay, vbroke, broke)
+
+    if scene.meta.has_opacity:
+        incoming = jnp.where(passthrough[..., None], state.rd, incoming)
+        new_weight = jnp.where(passthrough[..., None], state.weight, new_weight)
+        new_ro = jnp.where(
+            passthrough[..., None], position + state.rd * 1e-2, new_ro
+        )
+        broke = jnp.where(passthrough, False, broke)
+
     new_state = PathState(
         radiance=radiance,
-        weight=jnp.where(act[..., None], state.weight * w_mult, state.weight),
+        weight=jnp.where(act[..., None], new_weight, state.weight),
         active=act & ~broke,
         use_mis=state.use_mis,
         ro=jnp.where(act[..., None], new_ro, state.ro),
         rd=jnp.where(act[..., None], incoming, state.rd),
+        in_volume=jnp.where(act, in_volume, state.in_volume),
+        vol_density=vol_density,
+        vol_scattering=vol_scattering,
+        vol_anisotropy=vol_anisotropy,
     )
     return new_state, Hit.none((R,)), jnp.zeros((R,), jnp.bool_)
