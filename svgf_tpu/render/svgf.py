@@ -128,23 +128,36 @@ def temporal_filter(
     py = r + motion[..., 1].astype(jnp.int32)
     on_screen = (px >= 0) & (px < w) & (py >= 0) & (py < h_prev)
 
+    # ONE packed gather for all previous-frame state (6 separate whole-image
+    # gathers are ~5x slower on TPU). int channels ride as f32 exactly
+    # (instance ids and history < 2^24).
+    packed_prev = jnp.concatenate(
+        [
+            prev_gbuf.depth.astype(jnp.float32)[..., None],
+            prev_gbuf.instance.astype(jnp.float32)[..., None],
+            prev_gbuf.normal.astype(jnp.float32),
+            prev_color.astype(jnp.float32)[..., :4],
+            prev_history.astype(jnp.float32)[..., None],
+            prev_moments.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    prev = _gather2d(packed_prev, py, px)
+
     z_cur = get_depth(gbuf.depth)
-    z_prev = _gather2d(get_depth(prev_gbuf.depth), py, px)
+    z_prev = jnp.where(prev[..., 0] == 0.0, INVALID_DEPTH, prev[..., 0])
     depth_ok = jnp.abs(z_prev - z_cur) <= depth_threshold
 
-    mesh_cur = gbuf.instance
-    mesh_prev = _gather2d(prev_gbuf.instance, py, px)
-    mesh_ok = mesh_cur == mesh_prev
+    mesh_ok = gbuf.instance.astype(jnp.float32) == prev[..., 1]
 
     n_cur = gbuf.normal.astype(jnp.float32)
-    n_prev = _gather2d(prev_gbuf.normal, py, px).astype(jnp.float32)
-    normal_ok = jnp.sum(n_cur * n_prev, axis=-1) >= normal_threshold
+    normal_ok = jnp.sum(n_cur * prev[..., 2:5], axis=-1) >= normal_threshold
 
     valid = on_screen & depth_ok & mesh_ok & normal_ok
 
-    prev_col = load01(_gather2d(prev_color, py, px)[..., :3])
-    hist_prev = _gather2d(prev_history, py, px)
-    mom_prev = _gather2d(prev_moments, py, px).astype(jnp.float32)
+    prev_col = load01(prev[..., 5:8])
+    hist_prev = prev[..., 9].astype(jnp.int32)
+    mom_prev = prev[..., 10:12]
 
     history = jnp.where(
         valid, jnp.minimum(history_base_length, hist_prev + 1), 1
