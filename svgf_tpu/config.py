@@ -103,6 +103,20 @@ class RenderConfig:
     # frame (peak HBM of the shading stage scales as 1/chunks). 8 fits 1080p
     # on one v5e chip; 1 = single wavefront (small frames / CPU tests).
     trace_chunks: int = 1
+    # Pallas TPU kernels for the filter-chain stencils:
+    #   "auto"      — on when the default backend is TPU (CPU tests fall back
+    #                 to the pure-XLA stencils in render.svgf)
+    #   "on"/"off"  — force
+    #   "interpret" — Pallas interpreter mode (CPU parity tests of the
+    #                 pipeline's actual kernel code path)
+    use_pallas: str = "auto"
+    # Motion bound (|dy|, |dx|) in pixels for the Pallas temporal-reprojection
+    # kernel. Reprojection with larger per-frame motion is treated as a
+    # disocclusion (documented deviation: the reference gathers anywhere,
+    # Filter.cuh:230-232; pixels moving >8 rows / >63 cols per frame are
+    # almost always rejected by the depth/normal tests anyway). The XLA
+    # fallback (use_pallas="off") keeps the unbounded exact gather.
+    reproject_max_motion: tuple = (8, 63)
 
     # ---- (de)serialization: the reference has no config files; we add JSON. ----
     def to_json(self) -> str:
@@ -125,6 +139,8 @@ class RenderConfig:
             tracing["sampling_mode"] = SamplingMode(tracing["sampling_mode"])
         if "debug_output" in d:
             d["debug_output"] = DebugOutput(d["debug_output"])
+        if "reproject_max_motion" in d:
+            d["reproject_max_motion"] = tuple(d["reproject_max_motion"])
         return RenderConfig(
             tracing=TracingConfig(**tracing),
             svgf=SVGFConfig(**svgf),

@@ -384,7 +384,18 @@ class Scene:
                                     MaterialType.SUBSURFACE)
                 for m in self.materials
             ),
+            # NOTE: the reference folds the colour texture's alpha into
+            # opacity (Point.Opacity = Material.Opacity * ColourTexture.w,
+            # Common.cuh:1458). When texture sampling is enabled, materials
+            # whose colour texture has alpha < 1 must also set this flag (see
+            # ops/bsdf.eval_material_point).
             has_opacity=any(m.opacity < 1.0 for m in self.materials),
+        )
+        # Instance ids ride through f32 channels in the temporal filter
+        # (render/svgf.py mesh_ok) and through a u16 lane in the Pallas
+        # reprojection kernel — both exact only below 2^16.
+        assert len(self.instances) < 65536, (
+            f"{len(self.instances)} instances; ids must fit u16/f32 exactly"
         )
 
         f32 = lambda x: jnp.asarray(x, dtype)

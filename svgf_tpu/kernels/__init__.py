@@ -1,3 +1,35 @@
-from svgf_tpu.kernels.atrous_pallas import atrous_iteration_pallas
+"""Pallas TPU kernels for the SVGF filter-chain stencils.
 
-__all__ = ["atrous_iteration_pallas"]
+Each kernel is a drop-in replacement for its pure-XLA twin in
+svgf_tpu.render.svgf (which stays the semantic reference and the CPU
+fallback). `resolve_pallas(mode)` implements the config.use_pallas policy.
+"""
+
+import jax
+
+from svgf_tpu.kernels.atrous_pallas import atrous_iteration_pallas
+from svgf_tpu.kernels.moments_pallas import filter_moments_pallas
+
+
+def resolve_pallas(mode: str) -> tuple[bool, bool]:
+    """Map config.use_pallas to (enabled, interpret).
+
+    "auto" enables the kernels only on a TPU backend so CPU tests and the
+    virtual-device sharding dryruns transparently use the XLA stencils.
+    """
+    if mode == "on":
+        return True, False
+    if mode == "off":
+        return False, False
+    if mode == "interpret":
+        return True, True
+    if mode == "auto":
+        return jax.default_backend() == "tpu", False
+    raise ValueError(f"use_pallas must be auto/on/off/interpret, got {mode!r}")
+
+
+__all__ = [
+    "atrous_iteration_pallas",
+    "filter_moments_pallas",
+    "resolve_pallas",
+]

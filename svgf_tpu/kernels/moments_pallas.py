@@ -10,7 +10,7 @@ the edge-stopping weight vanish (0^phi_normal), reproducing the inside-mask
 exclusion exactly (same trick as atrous_pallas).
 
 Matches render.svgf.filter_moments bit-for-bit up to float reassociation
-(tested in tests/test_kernels.py).
+(parity tests: tests/test_kernels.py::test_moments_pallas_*).
 """
 
 from __future__ import annotations

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from svgf_tpu.config import RenderConfig
+from svgf_tpu.kernels import (
+    atrous_iteration_pallas,
+    filter_moments_pallas,
+    resolve_pallas,
+)
 from svgf_tpu.ops.geometry import to_srgb
 from svgf_tpu.render import svgf
 from svgf_tpu.render.gbuffer import camera_rays, gbuffer_first_hit, raster_gbuffer
@@ -42,9 +47,24 @@ def _gather_rows(x, axis):
     return jax.lax.all_gather(x, axis, tiled=True)
 
 
+def _moments_fn(cfg):
+    on, interp = resolve_pallas(cfg.use_pallas)
+    if on:
+        return functools.partial(filter_moments_pallas, interpret=interp)
+    return svgf.filter_moments
+
+
+def _atrous_fn(cfg):
+    on, interp = resolve_pallas(cfg.use_pallas)
+    if on:
+        return functools.partial(atrous_iteration_pallas, interpret=interp)
+    return svgf.atrous_iteration
+
+
 def _moments_filter_band(color, moments, gbuf, history, cfg, axis):
     from svgf_tpu.parallel.halo import crop_halo, with_row_halo
 
+    fm = _moments_fn(cfg)
     halo = 3
     hs = color.shape[0]
     if halo >= hs:
@@ -54,8 +74,8 @@ def _moments_filter_band(color, moments, gbuf, history, cfg, axis):
         full_m = _gather_rows(moments, axis)
         full_h = _gather_rows(history, axis)
         full_g = jax.tree.map(lambda v: _gather_rows(v, axis), gbuf)
-        out = svgf.filter_moments(full_c, full_m, full_g, full_h,
-                                  cfg.svgf.phi_colour, cfg.svgf.phi_normal)
+        out = fm(full_c, full_m, full_g, full_h,
+                 cfg.svgf.phi_colour, cfg.svgf.phi_normal)
         return jax.lax.dynamic_slice_in_dim(out, idx * hs, hs, axis=0)
     ext = lambda v: with_row_halo(v, halo, axis, "zero")
     g_ext = gbuf._replace(
@@ -63,7 +83,7 @@ def _moments_filter_band(color, moments, gbuf, history, cfg, axis):
         position=ext(gbuf.position), motion=ext(gbuf.motion), uv=ext(gbuf.uv),
         instance=ext(gbuf.instance), prim=ext(gbuf.prim), material=ext(gbuf.material),
     )
-    out = svgf.filter_moments(
+    out = fm(
         ext(color), ext(moments), g_ext,
         with_row_halo(jnp.maximum(history, 1), halo, axis, "zero"),
         cfg.svgf.phi_colour, cfg.svgf.phi_normal,
@@ -74,14 +94,15 @@ def _moments_filter_band(color, moments, gbuf, history, cfg, axis):
 def _atrous_band(img, gbuf, step, cfg, axis):
     from svgf_tpu.parallel.halo import crop_halo, with_row_halo
 
+    fa = _atrous_fn(cfg)
     halo = 2 * step
     hs = img.shape[0]
     if halo >= hs:
         idx = jax.lax.axis_index(axis)
         full_i = _gather_rows(img, axis)
         full_g = jax.tree.map(lambda v: _gather_rows(v, axis), gbuf)
-        out = svgf.atrous_iteration(full_i, full_g, step,
-                                    cfg.svgf.phi_colour, cfg.svgf.phi_normal)
+        out = fa(full_i, full_g, step,
+                 cfg.svgf.phi_colour, cfg.svgf.phi_normal)
         return jax.lax.dynamic_slice_in_dim(out, idx * hs, hs, axis=0)
     ext = lambda v: with_row_halo(v, halo, axis, "zero")
     g_ext = gbuf._replace(
@@ -89,8 +110,8 @@ def _atrous_band(img, gbuf, step, cfg, axis):
         position=ext(gbuf.position), motion=ext(gbuf.motion), uv=ext(gbuf.uv),
         instance=ext(gbuf.instance), prim=ext(gbuf.prim), material=ext(gbuf.material),
     )
-    out = svgf.atrous_iteration(ext(img), g_ext, step,
-                                cfg.svgf.phi_colour, cfg.svgf.phi_normal)
+    out = fa(ext(img), g_ext, step,
+             cfg.svgf.phi_colour, cfg.svgf.phi_normal)
     return crop_halo(out, halo)
 
 

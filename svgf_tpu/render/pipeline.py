@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from svgf_tpu.config import DebugOutput, RenderConfig
+from svgf_tpu.kernels import (
+    atrous_iteration_pallas,
+    filter_moments_pallas,
+    resolve_pallas,
+)
 from svgf_tpu.ops.geometry import to_srgb
 from svgf_tpu.render import svgf
 from svgf_tpu.render.gbuffer import camera_rays, gbuffer_first_hit, raster_gbuffer
@@ -80,17 +85,29 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
         )
 
     # ---- 4. Spatial moments fallback ----
+    pallas_on, interp = resolve_pallas(config.use_pallas)
     with jax.named_scope("filter_moments"):
-        moments_out = svgf.filter_moments(
-            tres.color,
-            tres.moments,
-            gbuf,
-            tres.history_len,
-            phi_colour=config.svgf.phi_colour,
-            phi_normal=config.svgf.phi_normal,
-        )
+        if pallas_on:
+            moments_out = filter_moments_pallas(
+                tres.color, tres.moments, gbuf, tres.history_len,
+                phi_colour=config.svgf.phi_colour,
+                phi_normal=config.svgf.phi_normal, interpret=interp,
+            )
+        else:
+            moments_out = svgf.filter_moments(
+                tres.color,
+                tres.moments,
+                gbuf,
+                tres.history_len,
+                phi_colour=config.svgf.phi_colour,
+                phi_normal=config.svgf.phi_normal,
+            )
 
     # ---- 5. A-trous wavelet chain ----
+    atrous_fn = (
+        functools.partial(atrous_iteration_pallas, interpret=interp)
+        if pallas_on else None
+    )
     with jax.named_scope("wavelet"):
         atrous_out, feedback, _ = svgf.wavelet_filter(
             moments_out,
@@ -98,6 +115,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
             steps=config.svgf.spatial_filter_steps,
             phi_colour=config.svgf.phi_colour,
             phi_normal=config.svgf.phi_normal,
+            atrous_fn=atrous_fn,
         )
     # steps==0: RenderBuffer keeps the temporal output (no iteration-0 write)
     if config.svgf.spatial_filter_steps == 0:
@@ -196,8 +214,6 @@ class Renderer:
         idx = self.config.tracing.current_camera if index is None else index
         cam = self.scene.cameras[idx].advance(new_frame)
         self.scene.cameras[idx] = cam
-        import numpy as np
-
         self.arrays = dataclasses.replace(
             self.arrays,
             cam_frame=self.arrays.cam_frame.at[idx].set(jnp.asarray(cam.frame)),

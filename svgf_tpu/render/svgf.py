@@ -304,6 +304,7 @@ def wavelet_filter(
     steps: int,
     phi_colour: float,
     phi_normal: float,
+    atrous_fn=None,
 ):
     """The wavelet loop (App.cu:491-514): steps iterations with step 1,2,4,...
 
@@ -311,13 +312,18 @@ def wavelet_filter(
     output (fed back into next frame's temporal history, Filter.cuh:619-622)
     and `second_last` mirrors what the reference leaves in FilterBuffer[1]
     after the ping-pong (used only under reference TAA wiring).
+
+    `atrous_fn(img, gbuf, step, phi_colour, phi_normal)` lets the pipeline
+    swap in the Pallas TPU kernel; defaults to the XLA stencil here.
     """
+    if atrous_fn is None:
+        atrous_fn = atrous_iteration
     feedback = img
     prev = img
     out = img
     for i in range(steps):
         prev = out
-        out = atrous_iteration(out, gbuf, 1 << i, phi_colour, phi_normal)
+        out = atrous_fn(out, gbuf, 1 << i, phi_colour, phi_normal)
         if i == 0:
             feedback = out
     return out, feedback, prev

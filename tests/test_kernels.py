@@ -51,3 +51,36 @@ def test_atrous_pallas_nonsquare_phi():
     ref = svgf.atrous_iteration(img, g, 1, 7.5, 100.0)
     out = atrous_iteration_pallas(img, g, 1, 7.5, 100.0, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# moments fallback kernel (Filter.cuh:430-525 twin)
+# ---------------------------------------------------------------------------
+
+from svgf_tpu.kernels import filter_moments_pallas  # noqa: E402
+
+
+def make_moments_inputs(seed=0, with_background=False):
+    rng = np.random.default_rng(seed)
+    img, g = make_inputs(seed, with_background)
+    moments = jnp.asarray(rng.uniform(0, 0.6, (H, W, 2)), jnp.float32)
+    history = jnp.asarray(rng.integers(1, 10, (H, W)), jnp.int32)
+    return img, moments, g, history
+
+
+def test_moments_pallas_matches_reference():
+    img, moments, g, history = make_moments_inputs()
+    ref = svgf.filter_moments(img, moments, g, history, 10.0, 128.0)
+    out = filter_moments_pallas(img, moments, g, history, 10.0, 128.0,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_moments_pallas_background_and_long_history():
+    img, moments, g, history = make_moments_inputs(seed=7, with_background=True)
+    # long-history pixels must pass through untouched (Filter.cuh:518-523)
+    history = jnp.where(history > 5, 100, history)
+    ref = svgf.filter_moments(img, moments, g, history, 10.0, 128.0)
+    out = filter_moments_pallas(img, moments, g, history, 10.0, 128.0,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -125,3 +125,21 @@ def test_gradients_wrt_materials():
     assert np.isfinite(g).all()
     # white-wall albedo definitely affects the image
     assert np.abs(g[0]).max() > 0.0
+
+
+def test_pallas_kernel_path_matches_xla():
+    """render_frame with use_pallas="interpret" runs the pipeline's actual
+    Pallas dispatch (moments + a-trous kernels) and must match the XLA
+    stencil path."""
+    scene = cornell_box(aspect=W / H).flatten()
+    cfg_x = make_config(use_pallas="off")
+    cfg_p = make_config(use_pallas="interpret")
+    state = TemporalState.initial(H, W, jnp.float32)
+    out_x, _ = render_frame(scene, state, cfg_x)
+    out_p, _ = render_frame(scene, jax.tree.map(jnp.copy, state), cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(out_p.final), np.asarray(out_x.final), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.atrous), np.asarray(out_x.atrous), atol=3e-5
+    )
