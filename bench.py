@@ -4,6 +4,16 @@ Baseline: the reference claims ~6 ms/frame for the filter stages on an
 unspecified NVIDIA GPU (reference README.md:7; BASELINE.md). vs_baseline is
 baseline_ms / our_ms (>1 = faster than the reference claim).
 
+What is measured: `svgf_tpu.render.pipeline.filter_chain` — the EXACT code
+path render_frame runs (temporal -> moments -> 5x a-trous -> TAA, Pallas
+kernels dispatched per config.use_pallas="auto") — on a steady-state orbit
+frame: a smooth depth/normal G-buffer with depth edges, a smooth
+orbit-camera motion field (|mx| <= 40 px, |my| <= 6 px), previous-frame
+state matching the current G-buffer (reprojection mostly valid), history at
+the cap except a ~3% disoccluded band (history 1-3, exercising the moments
+fallback). First-frame / warm-up behavior is reported separately by
+scripts/profile_stages.py.
+
 Timing methodology: on this platform `block_until_ready` returns before the
 remote device finishes, so every measurement runs K iterations inside one
 jit (lax.fori_loop) and fetches a scalar from the result — the fetch is the
@@ -13,6 +23,7 @@ subtracted.
 Prints exactly ONE JSON line on stdout; progress goes to stderr.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -42,16 +53,73 @@ def timed(fn, x, iters_inside, reps=3, fetch_overhead=0.0):
     return max(best - fetch_overhead, 1e-9) / iters_inside
 
 
+def make_bench_inputs(h, w):
+    """Steady-state orbit frame: smooth geometry + depth edges + smooth
+    motion + warmed-up temporal state."""
+    import jax.numpy as jnp
+
+    from svgf_tpu.render.types import GBuffer, TemporalState
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    u, v = xx / w, yy / h
+
+    # smooth depth with a few object edges (instance changes + depth jumps)
+    depth = 2.0 + 1.5 * np.sin(3 * u * np.pi) * np.cos(2 * v * np.pi) + v
+    instance = (np.floor(3 * u + 2 * v) % 4).astype(np.int32)
+    depth = depth + 0.7 * instance
+    depth_deriv = np.abs(np.gradient(depth, axis=1)) + 1e-4
+
+    theta = 0.7 * u + 0.2 * v
+    nrm = np.stack(
+        [np.sin(theta), np.cos(theta), 0.5 + 0.3 * np.sin(5 * v)], axis=-1
+    )
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    # orbit-camera motion: mostly-horizontal pan with parallax by depth
+    mx = np.trunc(28.0 / depth * (0.8 + 0.4 * u))
+    my = np.trunc(4.0 * (v - 0.5))
+    motion = np.stack([mx, my], axis=-1).astype(np.float32)
+
+    gbuf = GBuffer.zeros(h, w)._replace(
+        depth=jnp.asarray(depth, jnp.float32),
+        depth_deriv=jnp.asarray(depth_deriv, jnp.float32),
+        normal=jnp.asarray(nrm, jnp.float32),
+        instance=jnp.asarray(instance),
+        motion=jnp.asarray(motion),
+    )
+
+    # history at cap except a disoccluded band (the screen edge revealed by
+    # the pan + a moving-object band), ~3% of pixels
+    hist = np.full((h, w), 24, np.int32)
+    band = slice(int(0.55 * w), int(0.58 * w))
+    hist[:, band] = rng.integers(1, 4, (h, hist[:, band].shape[1]))
+    radiance = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+    state = TemporalState.initial(h, w, jnp.float32)._replace(
+        color=jnp.asarray(rng.uniform(0, 1, (h, w, 4)), jnp.float32),
+        moments=jnp.asarray(rng.uniform(0, 0.5, (h, w, 2)), jnp.float32),
+        history_len=jnp.asarray(hist),
+        taa_history=jnp.asarray(rng.uniform(0, 1, (h, w, 4)), jnp.float32),
+        gbuffer=gbuf,  # previous == current geometry: reprojection validates
+    )
+    return jnp.asarray(radiance), gbuf, state
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from svgf_tpu.render import svgf
-    from svgf_tpu.render.types import GBuffer
+    from svgf_tpu.config import RenderConfig, SVGFConfig
+    from svgf_tpu.render.pipeline import filter_chain
 
     w, h = 1920, 1080
-    steps = 5
     log(f"devices: {jax.devices()}")
+
+    config = RenderConfig(
+        width=w, height=h,
+        svgf=SVGFConfig(spatial_filter_steps=5),
+    )
 
     # measured fetch round trip (empty computation)
     ident = jax.jit(lambda x: x + 0.0)
@@ -59,49 +127,36 @@ def main():
     fetch_overhead = timed(ident, xsmall, 1, reps=5)
     log(f"fetch overhead: {fetch_overhead*1e3:.1f} ms")
 
-    rng = np.random.default_rng(0)
-    n = rng.standard_normal((h, w, 3))
-    n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    gbuf = GBuffer.zeros(h, w)._replace(
-        depth=jnp.asarray(rng.uniform(1.0, 5.0, (h, w)), jnp.float32),
-        depth_deriv=jnp.asarray(rng.uniform(1e-4, 1e-2, (h, w)), jnp.float32),
-        normal=jnp.asarray(n, jnp.float32),
-        instance=jnp.zeros((h, w), jnp.int32),
-        motion=jnp.asarray(rng.uniform(-2, 2, (h, w, 2)), jnp.float32),
-    )
-    img = jnp.asarray(rng.uniform(0, 1, (h, w, 4)), jnp.float32)
-    prev_moments = jnp.asarray(rng.uniform(0, 0.5, (h, w, 2)), jnp.float32)
-    prev_hist = jnp.asarray(rng.integers(1, 24, (h, w)), jnp.int32)
+    radiance, gbuf, state = make_bench_inputs(h, w)
 
-    try:
-        from svgf_tpu.kernels import atrous_iteration_pallas as atrous
+    from svgf_tpu.kernels import resolve_pallas
 
-        def atrous_fn(x, s):
-            return atrous(x, gbuf, s, 10.0, 128.0)
-
-        # make sure the Pallas kernel actually compiles on this backend
-        _fetch(atrous_fn(img, 1))
-        log("using Pallas a-trous kernel")
-    except Exception as e:  # pragma: no cover
-        log(f"Pallas a-trous unavailable ({type(e).__name__}); XLA fallback")
-
-        def atrous_fn(x, s):
-            return svgf.atrous_iteration(x, gbuf, s, 10.0, 128.0)
+    log(f"use_pallas=auto -> {resolve_pallas(config.use_pallas)}")
 
     def chain(cur):
-        t = svgf.temporal_filter(
-            cur[..., :3], cur, gbuf, gbuf, prev_moments, prev_hist, 0.8, 0.9, 24
-        )
-        m = svgf.filter_moments(t.color, t.moments, gbuf, t.history_len, 10.0, 128.0)
-        x = m
-        for i in range(steps):
-            x = atrous_fn(x, 1 << i)
-        return svgf.taa(x, x)
+        _, _, _, final, _ = filter_chain(cur, gbuf, state, config)
+        return final[..., :3]
 
     K = 5
     many = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: chain(v), x))
-    filter_ms = timed(many, img, K, reps=3, fetch_overhead=fetch_overhead) * 1e3
+    filter_ms = timed(many, radiance, K, reps=3, fetch_overhead=fetch_overhead) * 1e3
     log(f"filter chain: {filter_ms:.3f} ms/frame (K={K} in-jit iters)")
+
+    # per-stage breakdown (stderr only; same methodology)
+    def stage(name, fn):
+        lp = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: fn(v), x))
+        try:
+            ms = timed(lp, radiance, K, reps=3, fetch_overhead=fetch_overhead) * 1e3
+            log(f"  {name:24s} {ms:7.3f} ms")
+        except Exception as e:  # pragma: no cover
+            log(f"  {name:24s} FAILED {type(e).__name__}")
+
+    cfg0 = dataclasses.replace(config, svgf=SVGFConfig(spatial_filter_steps=0,
+                                                       enable_taa=False))
+    stage("temporal+moments", lambda v: filter_chain(v, gbuf, state, cfg0)[3][..., :3])
+    cfg3 = dataclasses.replace(config, svgf=SVGFConfig(spatial_filter_steps=5,
+                                                       enable_taa=False))
+    stage("+ 5x a-trous", lambda v: filter_chain(v, gbuf, state, cfg3)[3][..., :3])
 
     baseline_ms = 6.0
     print(json.dumps({

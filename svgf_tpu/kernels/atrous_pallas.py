@@ -1,11 +1,21 @@
 """Pallas TPU kernel for the a-trous wavelet iteration (Filter.cuh:527-624).
 
 Why a kernel: under XLA the 24 dilated taps each materialize shifted copies
-of the image through HBM (~8.8 ms/iteration measured at 1080p on v5e). Here
+of the image through HBM (~9 ms/iteration measured at 1080p on v5e). Here
 each grid step DMAs one halo-extended tile of the 9 input planes
 (rgb+variance, depth, depth-deriv, normal xyz) into VMEM once, evaluates all
 taps on-chip, and writes the 4 output planes once — HBM traffic drops to
 ~1x read + 1x write per iteration.
+
+Perf notes (v5e, 1080p):
+  * input DMAs are double-buffered across grid steps (the next tile's copy
+    overlaps the current tile's taps);
+  * luminance and the 0->1e30 depth fixup are precomputed once per extended
+    tile instead of per tap (saves ~6 VPU ops x 24 taps per pixel);
+  * the per-tap divisions of the reference weight (Filter.cuh:417-421)
+    become multiplications by per-center reciprocals;
+  * phi_normal powers that are powers of two (the default 128) use repeated
+    squaring instead of a transcendental pow per tap.
 
 Boundary handling: the wrapper zero-pads by the halo. A zero NORMAL makes
 the edge-stopping weight vanish (0^phi_normal), reproducing the reference's
@@ -41,65 +51,110 @@ def _pow(x, p: float):
     return jnp.power(x, p)
 
 
-def _atrous_kernel(inp_hbm, out_hbm, scratch, out_vmem, sem, osem,
-                   *, step, phi_colour, phi_normal, th, tw, halo, eh, ew):
+def _atrous_kernel(inp_hbm, out_hbm, scratch, pre, shift, out_vmem, sem, osem,
+                   *, step, phi_colour, phi_normal, th, tw, halo, eh, ew, nh, nw):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    t = i * nw + j
 
-    copy = pltpu.make_async_copy(
-        inp_hbm.at[:, pl.ds(i * th, eh), pl.ds(j * tw, ew)], scratch, sem
+    def start_dma(slot, ti, tj):
+        pltpu.make_async_copy(
+            inp_hbm.at[:, pl.ds(ti * th, eh), pl.ds(tj * tw, ew)],
+            scratch.at[slot], sem.at[slot],
+        ).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(0, i, j)
+
+    pltpu.make_async_copy(
+        inp_hbm.at[:, pl.ds(i * th, eh), pl.ds(j * tw, ew)],
+        scratch.at[slot], sem.at[slot],
+    ).wait()
+
+    @pl.when(t + 1 < nh * nw)
+    def _():
+        tn = t + 1
+        start_dma(jax.lax.rem(tn, 2), tn // nw, jax.lax.rem(tn, nw))
+
+    # precompute, over the whole extended tile: clipped rgb+var (imageLoad
+    # clamp :543), luminance, and the 0 -> 1e30 depth fixup. Taps then read
+    # pre-cooked planes; per-tap work is just the weight + accumulate.
+    # pre planes: 0-2 rgb clipped, 3 var clipped, 4 lum, 5 z fixed, 6-8 normal
+    c0 = jnp.clip(scratch[slot, 0], 0.0, 1.0)
+    c1 = jnp.clip(scratch[slot, 1], 0.0, 1.0)
+    c2 = jnp.clip(scratch[slot, 2], 0.0, 1.0)
+    pre[0] = c0
+    pre[1] = c1
+    pre[2] = c2
+    pre[3] = jnp.clip(scratch[slot, 3], 0.0, 1.0)
+    pre[4] = _LUM[0] * c0 + _LUM[1] * c1 + _LUM[2] * c2
+    zr = scratch[slot, 4]
+    pre[5] = jnp.where(zr == 0.0, 1e30, zr)
+    pre[6] = scratch[slot, 6]
+    pre[7] = scratch[slot, 7]
+    pre[8] = scratch[slot, 8]
+
+    def ctr(k):
+        return pre[k, halo : halo + th, halo : halo + tw]
+
+    c_rgb = [ctr(0), ctr(1), ctr(2)]
+    c_var = ctr(3)
+    l_c = ctr(4)
+    z_c = ctr(5)
+    invalid = scratch[slot, 4, halo : halo + th, halo : halo + tw] == 0.0
+    zd = scratch[slot, 5, halo : halo + th, halo : halo + tw]
+    n_c = (ctr(6), ctr(7), ctr(8))
+
+    inv_l = pl.reciprocal(
+        phi_colour * jnp.sqrt(jnp.maximum(0.0, 1e-10 + c_var)), approx=False
     )
-    copy.start()
-    copy.wait()
-
-    def plane(k, dy=0, dx=0):
-        return scratch[k, halo + dy : halo + dy + th, halo + dx : halo + dx + tw]
-
-    # center pixel
-    c_rgb = [jnp.clip(plane(k), 0.0, 1.0) for k in range(3)]
-    c_var = jnp.clip(plane(3), 0.0, 1.0)
-    l_c = _LUM[0] * c_rgb[0] + _LUM[1] * c_rgb[1] + _LUM[2] * c_rgb[2]
-    z_c = plane(4)
-    invalid = z_c == 0.0
-    z_c = jnp.where(invalid, 1e30, z_c)
-    zd = plane(5)
-    n_c = (plane(6), plane(7), plane(8))
-
-    phi_l = phi_colour * jnp.sqrt(jnp.maximum(0.0, 1e-10 + c_var))
-    phi_depth = jnp.maximum(zd, 1e-6) * step
+    inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-6) * step, approx=False)
 
     sum_w = jnp.ones((th, tw), jnp.float32)
     acc = [c_rgb[0], c_rgb[1], c_rgb[2], c_var]
 
+    use_shift = (step % 8) != 0  # row offsets dy*step sublane-misaligned?
+
     for dy in (-2, -1, 0, 1, 2):
+        oy = dy * step
+        if use_shift:
+            # one sublane-misaligned row-shifted copy of the 9 planes per
+            # dy; the 5 taps of this row then read it sublane-ALIGNED.
+            # (Misaligned sublane reads cost ~4x an aligned one on Mosaic.)
+            # For step % 8 == 0 the direct reads are already aligned and
+            # the extra copy only costs, so it is skipped.
+            shift[...] = pre[:, halo + oy : halo + oy + th, :]
+
+            def sp(k, dx):
+                return shift[k, :, halo + dx : halo + dx + tw]
+        else:
+
+            def sp(k, dx, oy=oy):
+                return pre[k, halo + oy : halo + oy + th, halo + dx : halo + dx + tw]
+
         for dx in (-2, -1, 0, 1, 2):
             if dy == 0 and dx == 0:
                 continue
-            oy, ox = dy * step, dx * step
-            p_rgb = [jnp.clip(plane(k, oy, ox), 0.0, 1.0) for k in range(3)]
-            p_var = jnp.clip(plane(3, oy, ox), 0.0, 1.0)
-            l_p = _LUM[0] * p_rgb[0] + _LUM[1] * p_rgb[1] + _LUM[2] * p_rgb[2]
-            z_p = plane(4, oy, ox)
-            z_p = jnp.where(z_p == 0.0, 1e30, z_p)
-            ndot = (
-                n_c[0] * plane(6, oy, ox)
-                + n_c[1] * plane(7, oy, ox)
-                + n_c[2] * plane(8, oy, ox)
-            )
+            ox = dx * step
+            l_p = sp(4, ox)
+            z_p = sp(5, ox)
+            ndot = n_c[0] * sp(6, ox) + n_c[1] * sp(7, ox) + n_c[2] * sp(8, ox)
             w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
-            dist = float((dx * dx + dy * dy) ** 0.5)
-            pd = phi_depth * dist
-            w_z = jnp.where(pd == 0.0, 0.0, jnp.abs(z_c - z_p) / jnp.where(pd == 0.0, 1.0, pd))
-            w_l = jnp.abs(l_c - l_p) / phi_l
+            inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
+            w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
+            w_l = jnp.abs(l_c - l_p) * inv_l
             k1d = _KERNEL_1D[abs(dx)] * _KERNEL_1D[abs(dy)]
-            w = jnp.exp(-jnp.maximum(w_l, 0.0) - jnp.maximum(w_z, 0.0)) * w_n * k1d
+            w = jnp.exp(-w_l - w_z) * w_n * k1d
             sum_w = sum_w + w
-            acc[0] = acc[0] + w * p_rgb[0]
-            acc[1] = acc[1] + w * p_rgb[1]
-            acc[2] = acc[2] + w * p_rgb[2]
-            acc[3] = acc[3] + w * w * p_var   # squared weights for variance
+            acc[0] = acc[0] + w * sp(0, ox)
+            acc[1] = acc[1] + w * sp(1, ox)
+            acc[2] = acc[2] + w * sp(2, ox)
+            acc[3] = acc[3] + w * w * sp(3, ox)
 
-    inv = 1.0 / sum_w
+    inv = pl.reciprocal(sum_w, approx=False)
     # invalid depth -> pass-through (Filter.cuh:554-558)
     out_vmem[0] = jnp.where(invalid, c_rgb[0], acc[0] * inv)
     out_vmem[1] = jnp.where(invalid, c_rgb[1], acc[1] * inv)
@@ -156,20 +211,24 @@ def atrous_iteration_pallas(img, gbuf, step: int, phi_colour: float,
         ((0, 0), (halo, (eh - th - halo) + hp - h), (halo, (ew - tw - halo) + wp - w)),
     )
 
-    grid = (hp // th, wp // tw)
+    nh, nw = hp // th, wp // tw
     out = pl.pallas_call(
         functools.partial(
             _atrous_kernel, step=step, phi_colour=phi_colour,
             phi_normal=phi_normal, th=th, tw=tw, halo=halo, eh=eh, ew=ew,
+            nh=nh, nw=nw,
         ),
-        grid=grid,
+        grid=(nh, nw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         scratch_shapes=[
+            pltpu.VMEM((2, 9, eh, ew), jnp.float32),
             pltpu.VMEM((9, eh, ew), jnp.float32),
+            # shift buffer only allocated when row offsets are misaligned
+            pltpu.VMEM((9 if step % 8 else 1, th, ew), jnp.float32),
             pltpu.VMEM((4, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

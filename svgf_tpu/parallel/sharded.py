@@ -27,8 +27,12 @@ from svgf_tpu.config import RenderConfig
 from svgf_tpu.kernels import (
     atrous_iteration_pallas,
     filter_moments_pallas,
+    pack_prev_planes,
     resolve_pallas,
+    taa_pallas,
+    temporal_filter_pallas,
 )
+from svgf_tpu.kernels.temporal_pallas import BOUND_Y
 from svgf_tpu.ops.geometry import to_srgb
 from svgf_tpu.render import svgf
 from svgf_tpu.render.gbuffer import camera_rays, gbuffer_first_hit, raster_gbuffer
@@ -115,13 +119,32 @@ def _atrous_band(img, gbuf, step, cfg, axis):
     return crop_halo(out, halo)
 
 
-def _taa_band(filtered, history, axis):
+def _taa_band(filtered, history, cfg, axis):
     from svgf_tpu.parallel.halo import crop_halo, with_row_halo
 
+    on, interp = resolve_pallas(cfg.use_pallas)
     halo = 1
     ext_f = with_row_halo(filtered, halo, axis, "edge")
     ext_h = with_row_halo(history, halo, axis, "edge")
-    return crop_halo(svgf.taa(ext_f, ext_h), halo)
+    if on:
+        out = taa_pallas(ext_f, ext_h, interpret=interp)
+    else:
+        out = svgf.taa(ext_f, ext_h)
+    return crop_halo(out, halo)
+
+
+def _row_halo_planes(planes, halo, axis_name):
+    """Zero-boundary row-halo exchange for a channels-first (C, Hs, W) stack."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        top = jnp.zeros_like(planes[:, :halo])
+        bot = top
+    else:
+        down = [(i, i + 1) for i in range(n - 1)]
+        top = jax.lax.ppermute(planes[:, -halo:], axis_name, down)
+        up = [(i, i - 1) for i in range(1, n)]
+        bot = jax.lax.ppermute(planes[:, :halo], axis_name, up)
+    return jnp.concatenate([top, planes, bot], axis=1)
 
 
 def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
@@ -155,27 +178,46 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
         radiance = radiance + sample / config.tracing.batch
     radiance = radiance.reshape(hs, w, 3)
 
-    # temporal: previous-frame state gathered to full resolution (reprojection
-    # may read anywhere); a ring-limited exchange is a later optimization
-    prev_color_full = _gather_rows(color.astype(jnp.float32), axis)
-    prev_moments_full = _gather_rows(moments.astype(jnp.float32), axis)
-    prev_history_full = _gather_rows(history_len, axis)
-    prev_gbuf_full = GBuffer.zeros(1, 1)._replace(
-        depth=_gather_rows(prev_gbuf.depth.astype(jnp.float32), axis),
-        instance=_gather_rows(prev_gbuf.instance, axis),
-        normal=_gather_rows(prev_gbuf.normal.astype(jnp.float32), axis),
-        motion=jnp.zeros((h_total, w, 2)), position=jnp.zeros((h_total, w, 3)),
-        depth_deriv=jnp.zeros((h_total, w)), uv=jnp.zeros((h_total, w, 2)),
-        prim=jnp.zeros((h_total, w), jnp.int32), material=jnp.zeros((h_total, w), jnp.int32),
-    )
-    tres = svgf.temporal_filter(
-        radiance, prev_color_full, gbuf, prev_gbuf_full,
-        prev_moments_full, prev_history_full,
-        depth_threshold=config.svgf.depth_threshold,
-        normal_threshold=config.svgf.normal_threshold,
-        history_base_length=config.svgf.history_length,
-        row0=row0,
-    )
+    # temporal reprojection across shards:
+    #   Pallas path — motion is bounded to BOUND_Y rows/frame, so the
+    #     previous-frame state only needs a BOUND_Y-row halo exchange
+    #     (ppermute over ICI) instead of a full-frame all_gather;
+    #   XLA fallback — exact unbounded gather against an all-gathered
+    #     previous frame (motion vectors may point anywhere on screen).
+    pallas_on, interp = resolve_pallas(config.use_pallas)
+    if pallas_on:
+        packed = pack_prev_planes(
+            color.astype(jnp.float32), prev_gbuf,
+            moments.astype(jnp.float32), history_len,
+        )
+        packed_ext = _row_halo_planes(packed, BOUND_Y, axis)
+        tres = temporal_filter_pallas(
+            radiance, packed_ext, gbuf,
+            depth_threshold=config.svgf.depth_threshold,
+            normal_threshold=config.svgf.normal_threshold,
+            history_base_length=config.svgf.history_length,
+            row0=row0, h_total=h_total, band_halo=True, interpret=interp,
+        )
+    else:
+        prev_color_full = _gather_rows(color.astype(jnp.float32), axis)
+        prev_moments_full = _gather_rows(moments.astype(jnp.float32), axis)
+        prev_history_full = _gather_rows(history_len, axis)
+        prev_gbuf_full = GBuffer.zeros(1, 1)._replace(
+            depth=_gather_rows(prev_gbuf.depth.astype(jnp.float32), axis),
+            instance=_gather_rows(prev_gbuf.instance, axis),
+            normal=_gather_rows(prev_gbuf.normal.astype(jnp.float32), axis),
+            motion=jnp.zeros((h_total, w, 2)), position=jnp.zeros((h_total, w, 3)),
+            depth_deriv=jnp.zeros((h_total, w)), uv=jnp.zeros((h_total, w, 2)),
+            prim=jnp.zeros((h_total, w), jnp.int32), material=jnp.zeros((h_total, w), jnp.int32),
+        )
+        tres = svgf.temporal_filter(
+            radiance, prev_color_full, gbuf, prev_gbuf_full,
+            prev_moments_full, prev_history_full,
+            depth_threshold=config.svgf.depth_threshold,
+            normal_threshold=config.svgf.normal_threshold,
+            history_base_length=config.svgf.history_length,
+            row0=row0,
+        )
 
     moments_out = _moments_filter_band(
         tres.color, tres.moments, gbuf, tres.history_len, config, axis
@@ -190,7 +232,7 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
     atrous_out = out
 
     if config.svgf.enable_taa:
-        final = _taa_band(atrous_out, taa_history.astype(jnp.float32), axis)
+        final = _taa_band(atrous_out, taa_history.astype(jnp.float32), config, axis)
     else:
         rgb = jnp.clip(atrous_out[..., :3], 0.0, 1.0)
         final = jnp.concatenate([to_srgb(rgb), jnp.ones((hs, w, 1))], axis=-1)

@@ -25,7 +25,10 @@ from svgf_tpu.config import DebugOutput, RenderConfig
 from svgf_tpu.kernels import (
     atrous_iteration_pallas,
     filter_moments_pallas,
+    pack_prev_planes,
     resolve_pallas,
+    taa_pallas,
+    temporal_filter_pallas,
 )
 from svgf_tpu.ops.geometry import to_srgb
 from svgf_tpu.render import svgf
@@ -34,58 +37,53 @@ from svgf_tpu.render.pathtrace import pathtrace_chunked
 from svgf_tpu.render.types import FrameOutputs, GBuffer, TemporalState
 
 
-def render_frame(scene, state: TemporalState, config: RenderConfig):
-    h, w = config.height, config.width
-    cam = config.tracing.current_camera
-    sdtype = jnp.dtype(config.state_dtype)
+def filter_chain(radiance, gbuf, state: TemporalState, config: RenderConfig):
+    """Stages 3-6 of the reference pipeline (TemporalFilter -> FilterMoments
+    -> WaveletFilter -> TAA, App.cu:469-522) on one frame's radiance.
 
-    # ---- 1. Rasterize (primary visibility) ----
-    with jax.named_scope("gbuffer"):
-        gbuf = raster_gbuffer(scene, cam, h, w)
-
-    # ---- 2. Trace (1spp x batch path tracing) ----
-    key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
-    radiance = jnp.zeros((h * w, 3), jnp.float32)
-    with jax.named_scope("trace"):
-        for s in range(config.tracing.batch):
-            skey = jax.random.fold_in(key, s)
-            jitter = (
-                jax.random.uniform(jax.random.fold_in(skey, 987), (h, w, 2)) * 2.0 - 1.0
-            )
-            ro, rd = camera_rays(
-                scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
-            )
-            first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
-            sample, _ = pathtrace_chunked(
-                scene,
-                ro,
-                rd,
-                skey,
-                bounces=config.tracing.bounces,
-                clamp=config.tracing.clamp,
-                mode=config.tracing.sampling_mode,
-                first_hit=first_hit,
-                num_chunks=config.trace_chunks,
-            )
-            radiance = radiance + sample / config.tracing.batch
-    radiance = radiance.reshape(h, w, 3)
+    This is THE filter code path — render_frame and bench.py both call it,
+    so the benchmark always measures what the pipeline runs. Returns
+    (temporal_result, moments_out, atrous_out, final, feedback) where
+    `feedback` is what goes back into next frame's temporal history
+    (a-trous iteration 0, Filter.cuh:619-622).
+    """
+    h, w = radiance.shape[:2]
 
     # ---- 3. Temporal filter ----
+    pallas_on, interp = resolve_pallas(config.use_pallas)
     with jax.named_scope("temporal"):
-        tres = svgf.temporal_filter(
-            radiance,
-            state.color.astype(jnp.float32),
-            gbuf,
-            state.gbuffer,
-            state.moments.astype(jnp.float32),
-            state.history_len,
-            depth_threshold=config.svgf.depth_threshold,
-            normal_threshold=config.svgf.normal_threshold,
-            history_base_length=config.svgf.history_length,
-        )
+        if pallas_on:
+            # motion-bounded Pallas reprojection (see kernels.temporal_pallas;
+            # the XLA fallback below keeps the exact unbounded gather)
+            packed = pack_prev_planes(
+                state.color.astype(jnp.float32),
+                state.gbuffer,
+                state.moments.astype(jnp.float32),
+                state.history_len,
+            )
+            tres = temporal_filter_pallas(
+                radiance,
+                packed,
+                gbuf,
+                depth_threshold=config.svgf.depth_threshold,
+                normal_threshold=config.svgf.normal_threshold,
+                history_base_length=config.svgf.history_length,
+                interpret=interp,
+            )
+        else:
+            tres = svgf.temporal_filter(
+                radiance,
+                state.color.astype(jnp.float32),
+                gbuf,
+                state.gbuffer,
+                state.moments.astype(jnp.float32),
+                state.history_len,
+                depth_threshold=config.svgf.depth_threshold,
+                normal_threshold=config.svgf.normal_threshold,
+                history_base_length=config.svgf.history_length,
+            )
 
     # ---- 4. Spatial moments fallback ----
-    pallas_on, interp = resolve_pallas(config.use_pallas)
     with jax.named_scope("filter_moments"):
         if pallas_on:
             moments_out = filter_moments_pallas(
@@ -124,12 +122,61 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     # ---- 6. TAA + sRGB (the main path's tonemap) ----
     with jax.named_scope("taa"):
         if config.svgf.enable_taa:
-            final = svgf.taa(atrous_out, state.taa_history.astype(jnp.float32))
+            if pallas_on:
+                final = taa_pallas(
+                    atrous_out, state.taa_history.astype(jnp.float32),
+                    interpret=interp,
+                )
+            else:
+                final = svgf.taa(atrous_out, state.taa_history.astype(jnp.float32))
         else:
             rgb = jnp.clip(atrous_out[..., :3], 0.0, 1.0)
             final = jnp.concatenate(
                 [to_srgb(rgb), jnp.ones((h, w, 1), jnp.float32)], axis=-1
             )
+
+    return tres, moments_out, atrous_out, final, feedback
+
+
+def render_frame(scene, state: TemporalState, config: RenderConfig):
+    h, w = config.height, config.width
+    cam = config.tracing.current_camera
+    sdtype = jnp.dtype(config.state_dtype)
+
+    # ---- 1. Rasterize (primary visibility) ----
+    with jax.named_scope("gbuffer"):
+        gbuf = raster_gbuffer(scene, cam, h, w)
+
+    # ---- 2. Trace (1spp x batch path tracing) ----
+    key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
+    radiance = jnp.zeros((h * w, 3), jnp.float32)
+    with jax.named_scope("trace"):
+        for s in range(config.tracing.batch):
+            skey = jax.random.fold_in(key, s)
+            jitter = (
+                jax.random.uniform(jax.random.fold_in(skey, 987), (h, w, 2)) * 2.0 - 1.0
+            )
+            ro, rd = camera_rays(
+                scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
+            )
+            first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
+            sample, _ = pathtrace_chunked(
+                scene,
+                ro,
+                rd,
+                skey,
+                bounces=config.tracing.bounces,
+                clamp=config.tracing.clamp,
+                mode=config.tracing.sampling_mode,
+                first_hit=first_hit,
+                num_chunks=config.trace_chunks,
+            )
+            radiance = radiance + sample / config.tracing.batch
+    radiance = radiance.reshape(h, w, 3)
+
+    tres, moments_out, atrous_out, final, feedback = filter_chain(
+        radiance, gbuf, state, config
+    )
 
     new_state = TemporalState(
         color=feedback.astype(sdtype),

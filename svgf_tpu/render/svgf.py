@@ -334,20 +334,35 @@ def wavelet_filter(
 # ---------------------------------------------------------------------------
 
 
+# PAL YUV matrices unrolled to scalar arithmetic: an einsum here would hit
+# the MXU in bf16 under TPU default precision (~1e-2 relative error on the
+# U/V channels, which the decode amplifies near zero).
+_YUV_ENC = (
+    (0.299, 0.587, 0.114),
+    (-0.14713, -0.28886, 0.436),
+    (0.615, -0.51499, -0.10001),
+)
+_YUV_DEC = (
+    (1.0, 0.0, 1.13983),
+    (1.0, -0.39465, -0.58060),
+    (1.0, 2.03211, 0.0),
+)
+
+
 def _encode_pal_yuv(rgb):
-    rgb = jnp.power(jnp.maximum(rgb, 0.0), 2.0)
-    m = jnp.array(
-        [[0.299, 0.587, 0.114], [-0.14713, -0.28886, 0.436], [0.615, -0.51499, -0.10001]],
-        jnp.float32,
+    rgb = jnp.maximum(rgb, 0.0)
+    rgb = rgb * rgb
+    ch = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    return jnp.stack(
+        [m[0] * ch[0] + m[1] * ch[1] + m[2] * ch[2] for m in _YUV_ENC], axis=-1
     )
-    return jnp.einsum("ij,...j->...i", m, rgb)
 
 
 def _decode_pal_yuv(yuv):
-    m = jnp.array(
-        [[1.0, 0.0, 1.13983], [1.0, -0.39465, -0.58060], [1.0, 2.03211, 0.0]], jnp.float32
+    ch = [yuv[..., 0], yuv[..., 1], yuv[..., 2]]
+    rgb = jnp.stack(
+        [m[0] * ch[0] + m[1] * ch[1] + m[2] * ch[2] for m in _YUV_DEC], axis=-1
     )
-    rgb = jnp.einsum("ij,...j->...i", m, yuv)
     return jnp.sqrt(jnp.maximum(rgb, 1e-12))  # eps keeps sqrt' finite at 0
 
 

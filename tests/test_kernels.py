@@ -84,3 +84,119 @@ def test_moments_pallas_background_and_long_history():
     out = filter_moments_pallas(img, moments, g, history, 10.0, 128.0,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_moments_pallas_steady_state_skip():
+    """All history >= 4: the tile-skip fast path must equal pass-through."""
+    img, moments, g, _ = make_moments_inputs(seed=9)
+    history = jnp.full((H, W), 24, jnp.int32)
+    ref = svgf.filter_moments(img, moments, g, history, 10.0, 128.0)
+    out = filter_moments_pallas(img, moments, g, history, 10.0, 128.0,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# temporal reprojection kernel (Filter.cuh:359-404 twin, bounded motion)
+# ---------------------------------------------------------------------------
+
+from svgf_tpu.kernels import (  # noqa: E402
+    pack_prev_planes,
+    taa_pallas,
+    temporal_filter_pallas,
+)
+from svgf_tpu.kernels.temporal_pallas import BOUND_Y  # noqa: E402
+
+
+def make_temporal_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    img, g = make_inputs(seed)
+    # in-bound motion (|my| <= 8, |mx| <= 63), integer-valued after trunc
+    motion = np.trunc(
+        rng.uniform(-1, 1, (H, W, 2)) * np.array([40.0, 7.0])
+    ).astype(np.float32)
+    g = g._replace(
+        motion=jnp.asarray(motion),
+        instance=jnp.asarray(rng.integers(0, 3, (H, W)), jnp.int32),
+    )
+    # previous frame: 70% of pixels share geometry with the current frame
+    share = rng.uniform(size=(H, W)) < 0.7
+    n_prev = np.where(
+        share[..., None], np.asarray(g.normal),
+        rng.standard_normal((H, W, 3)),
+    )
+    n_prev /= np.linalg.norm(n_prev, axis=-1, keepdims=True)
+    prev_g = GBuffer.zeros(H, W)._replace(
+        depth=jnp.asarray(
+            np.where(share, np.asarray(g.depth), rng.uniform(1, 5, (H, W))),
+            jnp.float32,
+        ),
+        normal=jnp.asarray(n_prev, jnp.float32),
+        instance=jnp.asarray(
+            np.where(share, np.asarray(g.instance), rng.integers(0, 3, (H, W))),
+            jnp.int32,
+        ),
+    )
+    prev_color = jnp.asarray(rng.uniform(0, 1, (H, W, 4)), jnp.float32)
+    prev_moments = jnp.asarray(rng.uniform(0, 0.5, (H, W, 2)), jnp.float32)
+    prev_hist = jnp.asarray(rng.integers(1, 24, (H, W)), jnp.int32)
+    return img[..., :3], g, prev_g, prev_color, prev_moments, prev_hist
+
+
+def _assert_temporal_equal(out, ref):
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.moments), np.asarray(ref.moments),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(out.history_len),
+                                  np.asarray(ref.history_len))
+    np.testing.assert_array_equal(np.asarray(out.reprojected),
+                                  np.asarray(ref.reprojected))
+
+
+def test_temporal_pallas_matches_reference():
+    cur, g, prev_g, prev_color, prev_moments, prev_hist = make_temporal_inputs()
+    ref = svgf.temporal_filter(cur, prev_color, g, prev_g, prev_moments,
+                               prev_hist, 0.8, 0.9, 24)
+    packed = pack_prev_planes(prev_color, prev_g, prev_moments, prev_hist)
+    out = temporal_filter_pallas(cur, packed, g, 0.8, 0.9, 24, interpret=True)
+    _assert_temporal_equal(out, ref)
+
+
+def test_temporal_pallas_band_halo_layout():
+    """band_halo=True with explicitly prepended halo rows == flat layout."""
+    cur, g, prev_g, prev_color, prev_moments, prev_hist = make_temporal_inputs(3)
+    packed = pack_prev_planes(prev_color, prev_g, prev_moments, prev_hist)
+    flat = temporal_filter_pallas(cur, packed, g, 0.8, 0.9, 24, interpret=True)
+    ext = jnp.pad(packed, ((0, 0), (BOUND_Y, BOUND_Y), (0, 0)))
+    band = temporal_filter_pallas(cur, ext, g, 0.8, 0.9, 24, row0=0,
+                                  h_total=H, band_halo=True, interpret=True)
+    _assert_temporal_equal(band, flat)
+
+
+def test_temporal_pallas_out_of_bound_motion_is_disocclusion():
+    """Motion beyond (BOUND_Y, BOUND_X) must behave like a failed
+    reprojection (the documented deviation from the unbounded XLA gather)."""
+    cur, g, prev_g, prev_color, prev_moments, prev_hist = make_temporal_inputs(4)
+    big = jnp.asarray(np.full((H, W, 2), 80.0, np.float32))
+    g = g._replace(motion=big)
+    packed = pack_prev_planes(prev_color, prev_g, prev_moments, prev_hist)
+    out = temporal_filter_pallas(cur, packed, g, 0.8, 0.9, 24, interpret=True)
+    assert not bool(np.asarray(out.reprojected).any())
+    assert int(np.asarray(out.history_len).max()) == 1
+
+
+# ---------------------------------------------------------------------------
+# TAA kernel (Filter.cuh:288-357 twin)
+# ---------------------------------------------------------------------------
+
+
+def test_taa_pallas_matches_reference():
+    rng = np.random.default_rng(11)
+    filt = jnp.asarray(rng.uniform(0, 1, (H, W, 4)), jnp.float32)
+    hist = jnp.asarray(rng.uniform(0, 1, (H, W, 4)), jnp.float32)
+    ref = svgf.taa(filt, hist)
+    out = taa_pallas(filt, hist, interpret=True)
+    # tolerance: the YUV decode takes sqrt near zero, which amplifies float
+    # reassociation differences (d/dx sqrt -> inf at 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
