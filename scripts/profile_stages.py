@@ -108,8 +108,26 @@ def main():
     report("atrous step=1 (XLA)", atrous_xla_1)
     report("taa (XLA)", taa_xla)
 
-    from svgf_tpu.kernels import atrous_iteration_pallas
+    from svgf_tpu.kernels import (
+        atrous_iteration_pallas,
+        pack_prev_planes,
+        taa_pallas,
+        temporal_filter_pallas,
+    )
     from svgf_tpu.kernels.moments_pallas import filter_moments_pallas
+
+    packed_prev = pack_prev_planes(img, gbuf, prev_moments, prev_hist)
+
+    def temporal_pl(c4):
+        return temporal_filter_pallas(
+            c4[..., :3], packed_prev, gbuf,
+            depth_threshold=0.8, normal_threshold=0.9, history_base_length=24,
+        ).color
+
+    report("temporal (Pallas)", temporal_pl)
+    report("  pack_prev_planes alone",
+           lambda c4: pack_prev_planes(c4, gbuf, prev_moments, prev_hist)[0])
+    report("taa (Pallas)", lambda c4: taa_pallas(c4, c4))
 
     def moments_pl(c4):
         return filter_moments_pallas(c4, prev_moments, gbuf, prev_hist, 10.0, 128.0)
