@@ -192,6 +192,11 @@ class SceneMeta:
     # opacity machinery out entirely (zero cost for plain surface scenes)
     has_media: bool = False    # any VOLUMETRIC/GLASS/SUBSURFACE material
     has_opacity: bool = False  # any material with opacity < 1
+    # scene-texture fetch. The reference STUBS this to vec4(1)
+    # (Common.cuh:1391) — textures_enabled=False is the parity default;
+    # True compiles real atlas sampling into the tracer (PARITY.md).
+    textures_enabled: bool = False
+    has_normal_maps: bool = False  # any material with a normal texture
 
 
 @jax.tree_util.register_dataclass
@@ -246,6 +251,14 @@ class SceneArrays:
     mat_scattering: jax.Array    # (M, 3)
     mat_transmission_depth: jax.Array  # (M,)
     mat_type: jax.Array          # (M,) i32
+    # per-material texture slots (reference material POD, Scene.h:69-89)
+    mat_emission_tex: jax.Array  # (M,) i32, INVALID_ID = none
+    mat_colour_tex: jax.Array    # (M,) i32
+    mat_roughness_tex: jax.Array # (M,) i32
+    mat_normal_tex: jax.Array    # (M,) i32
+    # stacked scene-texture atlas (core.textures.build_texture_stack) —
+    # the TPU form of the reference's 8192^2 atlas (TextureArrayCu.cu:24-84)
+    textures: jax.Array          # (K, S, S, 4) u8
     # lights
     light_instance: jax.Array    # (L,) i32 (INVALID_ID for env lights)
     light_env: jax.Array         # (L,) i32
@@ -291,6 +304,10 @@ class Scene:
     materials: list = dataclasses.field(default_factory=list)
     environments: list = dataclasses.field(default_factory=list)
     env_textures: list = dataclasses.field(default_factory=list)  # (He,We,3) float arrays
+    textures: list = dataclasses.field(default_factory=list)      # (H,W,4) u8/float images
+    # Real scene-texture sampling. False (default) reproduces the reference's
+    # vec4(1) fetch stub (Common.cuh:1391); True enables the atlas machinery.
+    textures_enabled: bool = False
 
     def preprocess(self) -> "Scene":
         for s in self.shapes:
@@ -327,7 +344,16 @@ class Scene:
             else np.zeros((0, 4, 4), np.float32)
         )
         if self.env_textures:
-            et = np.stack([np.asarray(t, np.float32) for t in self.env_textures])
+            envs = [np.asarray(t, np.float32) for t in self.env_textures]
+            if len({e.shape for e in envs}) > 1:
+                # mixed resolutions: resize to the largest (the reference
+                # resizes every env map into a fixed atlas slot, Scene.cpp:643)
+                from svgf_tpu.core.textures import resize_nearest
+
+                he = max(e.shape[0] for e in envs)
+                we = max(e.shape[1] for e in envs)
+                envs = [resize_nearest(e, he, we) for e in envs]
+            et = np.stack(envs)
         else:
             et = np.zeros((1, 1, 2, 3), np.float32)  # placeholder, never indexed
 
@@ -367,6 +393,13 @@ class Scene:
             int(flat.shape_tri_start[self.instances[int(li)].shape]) if li >= 0 else -1
             for li in lights.instance
         )
+
+        from svgf_tpu.core.textures import build_texture_stack, texture_alpha_min
+
+        tex_on = bool(self.textures_enabled and self.textures)
+        tex_stack = build_texture_stack(self.textures if tex_on else [])
+        tex_alpha = texture_alpha_min(self.textures) if tex_on else []
+
         meta = SceneMeta(
             n_instances=len(self.instances),
             n_lights=int(lights.instance.shape[0]),
@@ -384,12 +417,23 @@ class Scene:
                                     MaterialType.SUBSURFACE)
                 for m in self.materials
             ),
-            # NOTE: the reference folds the colour texture's alpha into
-            # opacity (Point.Opacity = Material.Opacity * ColourTexture.w,
-            # Common.cuh:1458). When texture sampling is enabled, materials
-            # whose colour texture has alpha < 1 must also set this flag (see
-            # ops/bsdf.eval_material_point).
-            has_opacity=any(m.opacity < 1.0 for m in self.materials),
+            # The reference folds the colour texture's alpha into opacity
+            # (Point.Opacity = Material.Opacity * ColourTexture.w,
+            # Common.cuh:1458) — with textures enabled, materials whose
+            # colour texture carries alpha < 1 also need the pass-through
+            # machinery compiled in.
+            has_opacity=any(
+                m.opacity < 1.0
+                or (
+                    tex_on
+                    and 0 <= m.colour_texture < len(tex_alpha)
+                    and tex_alpha[m.colour_texture] < 1.0
+                )
+                for m in self.materials
+            ),
+            textures_enabled=tex_on,
+            has_normal_maps=tex_on
+            and any(m.normal_texture >= 0 for m in self.materials),
         )
         # Instance ids ride through f32 channels in the temporal filter
         # (render/svgf.py mesh_ok) and through a u16 lane in the Pallas
@@ -445,6 +489,11 @@ class Scene:
             mat_scattering=f32([m.scattering_colour for m in mats]),
             mat_transmission_depth=f32([m.transmission_depth for m in mats]),
             mat_type=i32([int(m.material_type) for m in mats]),
+            mat_emission_tex=i32([m.emission_texture for m in mats]),
+            mat_colour_tex=i32([m.colour_texture for m in mats]),
+            mat_roughness_tex=i32([m.roughness_texture for m in mats]),
+            mat_normal_tex=i32([m.normal_texture for m in mats]),
+            textures=jnp.asarray(tex_stack),
             light_instance=i32(lights.instance),
             light_env=i32(lights.environment),
             light_cdf_start=i32(lights.cdf_start),

@@ -161,10 +161,17 @@ def load_reference_scene(path: str) -> Scene:
     n_tex = r.size()
     for _ in range(n_tex):
         n_u8 = r.size()
-        r.raw(n_u8)
+        u8 = np.frombuffer(r.raw(n_u8), np.uint8).copy()
         n_f = r.size()
         r.raw(n_f * 4)
-        r.ints(3)
+        wd, ht, ch = r.ints(3)
+        # keep the LDR pixels so textures can be *enabled* on this scene
+        # (Scene.textures_enabled stays False by default = the reference's
+        # stubbed fetch, Common.cuh:1386-1394)
+        if n_u8 and n_u8 == wd * ht * ch:
+            scene.textures.append(u8.reshape(ht, wd, ch))
+        else:
+            scene.textures.append(np.full((1, 1, 4), 255, np.uint8))
 
     names = {}
     for key in ("camera", "instance", "shape", "material", "texture", "envtex", "env"):

@@ -107,6 +107,56 @@ def load_gltf(path: str, scene: Scene | None = None) -> Scene:
     buffers = _read_buffers(doc, base_dir, glb_buffers)
     scene = scene if scene is not None else Scene()
 
+    # images + textures (reference imports the 4 PBR texture slots and
+    # resizes each image into the scene atlas, GLTFLoader.cpp:16-71,265-308)
+    image_slot: dict[int, int] = {}
+
+    def load_image(img_idx: int) -> int:
+        """Decode glTF image `img_idx` into scene.textures; returns slot id."""
+        if img_idx in image_slot:
+            return image_slot[img_idx]
+        img = doc["images"][img_idx]
+        data = None
+        if "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                from svgf_tpu.utils.image import read_image
+
+                arr = read_image(os.path.join(base_dir, uri))
+                scene.textures.append(arr)
+                image_slot[img_idx] = len(scene.textures) - 1
+                return image_slot[img_idx]
+        elif "bufferView" in img:
+            view = doc["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            data = buffers[view["buffer"]][off : off + view["byteLength"]]
+        if data is not None:
+            import io as _io
+
+            from PIL import Image as _PILImage
+
+            with _PILImage.open(_io.BytesIO(data)) as im:
+                arr = np.asarray(im.convert("RGBA"))
+            scene.textures.append(arr)
+        else:
+            scene.textures.append(np.full((1, 1, 4), 255, np.uint8))
+        image_slot[img_idx] = len(scene.textures) - 1
+        return image_slot[img_idx]
+
+    def tex_slot(tex_info) -> int:
+        """glTF textureInfo -> scene texture slot id (-1 = none)."""
+        if tex_info is None:
+            return -1
+        try:
+            src = doc["textures"][tex_info["index"]].get("source")
+            if src is None:
+                return -1
+            return load_image(src)
+        except Exception:
+            return -1
+
     mat_base = len(scene.materials)
     for m in doc.get("materials", [{}]):
         pbr = m.get("pbrMetallicRoughness", {})
@@ -123,6 +173,10 @@ def load_gltf(path: str, scene: Scene | None = None) -> Scene:
                 emission=tuple(emissive),
                 opacity=float(base[3]),
                 material_type=mtype,
+                colour_texture=tex_slot(pbr.get("baseColorTexture")),
+                roughness_texture=tex_slot(pbr.get("metallicRoughnessTexture")),
+                emission_texture=tex_slot(m.get("emissiveTexture")),
+                normal_texture=tex_slot(m.get("normalTexture")),
             )
         )
     if not doc.get("materials"):

@@ -45,6 +45,14 @@ def save_scene_npz(path: str, scene: Scene) -> None:
             + list(m.scattering_colour),
             np.float32,
         )
+        data[f"mat{i}_tex"] = np.asarray(
+            [m.emission_texture, m.colour_texture, m.roughness_texture,
+             m.normal_texture], np.int32,
+        )
+    data["n_textures"] = len(scene.textures)
+    data["textures_enabled"] = bool(scene.textures_enabled)
+    for i, t in enumerate(scene.textures):
+        data[f"tex{i}"] = np.asarray(t)
     for i, c in enumerate(scene.cameras):
         data[f"cam{i}_frame"] = c.frame
         data[f"cam{i}_prev"] = c.previous_frame
@@ -83,12 +91,15 @@ def load_scene_npz(path: str) -> Scene:
         )
     for i in range(int(z["n_materials"])):
         v = z[f"mat{i}"]
+        tex = z[f"mat{i}_tex"] if f"mat{i}_tex" in z else np.full(4, -1, np.int32)
         scene.materials.append(
             Material(
                 emission=tuple(v[0:3]), colour=tuple(v[3:6]),
                 roughness=float(v[6]), metallic=float(v[7]), anisotropy=float(v[8]),
                 material_type=MaterialType(int(v[9])), opacity=float(v[10]),
                 transmission_depth=float(v[11]), scattering_colour=tuple(v[12:15]),
+                emission_texture=int(tex[0]), colour_texture=int(tex[1]),
+                roughness_texture=int(tex[2]), normal_texture=int(tex[3]),
             )
         )
     for i in range(int(z["n_cameras"])):
@@ -109,6 +120,10 @@ def load_scene_npz(path: str) -> Scene:
         )
     for i in range(int(z["n_envtex"])):
         scene.env_textures.append(z[f"envtex{i}"])
+    if "n_textures" in z:
+        for i in range(int(z["n_textures"])):
+            scene.textures.append(z[f"tex{i}"])
+        scene.textures_enabled = bool(z["textures_enabled"])
     return scene
 
 

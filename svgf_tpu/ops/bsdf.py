@@ -43,18 +43,21 @@ class MaterialPoint(NamedTuple):
 
 
 def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
-                        tex_roughness=None) -> MaterialPoint:
+                        tex_roughness=None, tex_alpha=None) -> MaterialPoint:
     """Gather + derive shading params per lane (Common.cuh:1440-1479).
 
     Texture factors default to 1 — the reference's scene-texture fetch is
     stubbed to vec4(1) (Common.cuh:1386-1394, README "doesn't really work
-    with textured meshes"); pass explicit factors to enable real textures.
+    with textured meshes"); pass explicit factors to enable real textures
+    (the tracer does when SceneMeta.textures_enabled). `tex_alpha` is the
+    colour texture's alpha, folded into opacity (Common.cuh:1458).
     """
     m = jnp.clip(mat_idx, 0, scene.mat_type.shape[0] - 1)
     colour = scene.mat_colour[m]
     emission = scene.mat_emission[m]
     rough = scene.mat_roughness[m]
     metal = scene.mat_metallic[m]
+    opacity = scene.mat_opacity[m]
     if tex_colour is not None:
         colour = colour * tex_colour
     if tex_emission is not None:
@@ -62,6 +65,8 @@ def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
     if tex_roughness is not None:
         rough = rough * tex_roughness[..., 1]
         metal = metal * tex_roughness[..., 2]
+    if tex_alpha is not None:
+        opacity = opacity * tex_alpha
     rough = rough * rough
     mtype = scene.mat_type[m]
     rough = jnp.where(mtype == VOLUMETRIC, 0.0, rough)
@@ -76,7 +81,7 @@ def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
         emission=emission,
         roughness=rough,
         metallic=metal,
-        opacity=scene.mat_opacity[m],
+        opacity=opacity,
         anisotropy=scene.mat_anisotropy[m],
         scattering=scene.mat_scattering[m],
         density=density,

@@ -48,7 +48,15 @@ import jax.numpy as jnp
 
 from svgf_tpu.config import SamplingMode
 from svgf_tpu.ops import bsdf as B
-from svgf_tpu.ops.geometry import MAX_LENGTH, dot, normalize, transform_point, transform_vector
+from svgf_tpu.ops import texture as T
+from svgf_tpu.ops.geometry import (
+    MAX_LENGTH,
+    dot,
+    normalize,
+    transform_direction,
+    transform_point,
+    transform_vector,
+)
 from svgf_tpu.ops.intersect import Hit, intersect_scene
 from svgf_tpu.ops import media as M
 from svgf_tpu.ops.lights import _interp, eval_environment, sample_lights, sample_lights_pdf
@@ -62,9 +70,19 @@ class _Shade(NamedTuple):
 
 
 def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
-    """Geometry + material evaluation at a hit (Common.cuh:1422-1479)."""
+    """Geometry + material evaluation at a hit (Common.cuh:1422-1479).
+
+    When SceneMeta.textures_enabled, the per-material texture slots are
+    sampled at the interpolated UV (EvalTexCoord, Common.cuh:1375-1384) and
+    folded into the material point exactly like EvalMaterial
+    (Common.cuh:1440-1479: colour/emission sRGB->linear, roughness.y /
+    metallic.z channels, colour alpha -> opacity); the normal map applies
+    through the tangent frame (Common.cuh:1405-1418, PathTrace.cuh:182-185).
+    With textures disabled this compiles to exactly the reference's vec4(1)
+    stub behavior (Common.cuh:1391)."""
     prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
     inst = jnp.clip(hit.instance, 0, scene.inst_shape.shape[0] - 1)
+    mat = jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1)
     pos = transform_point(
         scene.inst_transform[inst], _interp(scene.tri_pos, prim, hit.u, hit.v)
     )
@@ -73,7 +91,27 @@ def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
             scene.inst_normal_transform[inst], _interp(scene.tri_nrm, prim, hit.u, hit.v)
         )
     )
-    mp = B.eval_material_point(scene, jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1))
+    if scene.meta.textures_enabled:
+        uv = _interp(scene.tri_uv, prim, hit.u, hit.v)
+        tex_col = T.eval_texture(scene.textures, scene.mat_colour_tex[mat], uv,
+                                 linear=True)
+        tex_emi = T.eval_texture(scene.textures, scene.mat_emission_tex[mat], uv,
+                                 linear=True)[..., :3]
+        tex_rgh = T.eval_texture(scene.textures, scene.mat_roughness_tex[mat], uv,
+                                 linear=False)
+        mp = B.eval_material_point(
+            scene, mat,
+            tex_colour=tex_col[..., :3], tex_emission=tex_emi,
+            tex_roughness=tex_rgh, tex_alpha=tex_col[..., 3],
+        )
+        if scene.meta.has_normal_maps:
+            tan = _interp(scene.tri_tan, prim, hit.u, hit.v)
+            n = T.apply_normal_map(
+                scene.textures, scene.mat_normal_tex[mat], uv, n, tan,
+                scene.inst_normal_transform[inst], transform_direction, normalize,
+            )
+    else:
+        mp = B.eval_material_point(scene, mat)
     # EvalShadingNormal (Common.cuh:1433-1438): glass keeps the normal,
     # everything else flips it toward the outgoing direction
     flip = (dot(n, outgoing) < 0) & (mp.mtype != B.GLASS)

@@ -1,7 +1,11 @@
-"""Image IO (reference ImageLoader.cpp): PNG write/read without external deps."""
+"""Image IO (reference ImageLoader.cpp): PNG + Radiance HDR without external
+deps, plus a PIL-backed `read_image` dispatch for JPEG & friends (the
+reference loads LDR and HDR float images through stb_image,
+ImageLoader.cpp:28-127)."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -99,3 +103,101 @@ def read_png(path: str) -> np.ndarray:
         out[r] = cur.astype(np.uint8).reshape(w, c)
         prev = cur
     return out
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR (.hdr) — the reference's float/HDR path (ImageLoader.cpp:67-95,
+# via stb_image's HDR loader). RGBE decode matches stb: c * 2^(e-136).
+# ---------------------------------------------------------------------------
+
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Read a Radiance .hdr file -> (H, W, 3) float32 (linear radiance)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError(f"{path}: not a Radiance HDR file")
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    res = data[pos:eol].split()
+    assert res[0] == b"-Y" and res[2] == b"+X", f"unsupported orientation {res}"
+    h, w = int(res[1]), int(res[3])
+    pos = eol + 1
+
+    out = np.zeros((h, w, 4), np.uint8)
+    for y in range(h):
+        if w < 8 or w > 0x7FFF or data[pos] != 2 or data[pos + 1] != 2:
+            # flat (old-style) scanline
+            row = np.frombuffer(data[pos : pos + 4 * w], np.uint8).reshape(w, 4)
+            out[y] = row
+            pos += 4 * w
+            continue
+        assert (data[pos + 2] << 8 | data[pos + 3]) == w, "RLE width mismatch"
+        pos += 4
+        for c in range(4):
+            x = 0
+            while x < w:
+                n = data[pos]
+                if n > 128:  # run
+                    out[y, x : x + n - 128, c] = data[pos + 1]
+                    x += n - 128
+                    pos += 2
+                else:  # literal
+                    out[y, x : x + n, c] = np.frombuffer(
+                        data[pos + 1 : pos + 1 + n], np.uint8
+                    )
+                    x += n
+                    pos += 1 + n
+    img = _rgbe_to_float(out)
+    # NaN/inf scrub (reference ImageLoader.cpp:121-127)
+    return np.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def write_hdr(path: str, img) -> None:
+    """Write (H, W, 3) float32 as an uncompressed Radiance .hdr."""
+    a = np.asarray(img, np.float32)[..., :3]
+    h, w = a.shape[:2]
+    m = a.max(axis=-1)
+    e = np.zeros((h, w), np.int32)
+    valid = m >= 1e-32
+    _, e_v = np.frexp(np.where(valid, m, 1.0))
+    scale = np.ldexp(1.0, -e_v + 8).astype(np.float32)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(a * scale[..., None], 0, 255).astype(np.uint8)
+    e = np.where(valid, e_v + 128, 0)
+    rgbe[..., 3] = e.astype(np.uint8)
+    rgbe[~valid] = 0
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_image(path: str, *, as_float: bool = False) -> np.ndarray:
+    """Load any supported image (reference LoadImage dispatch,
+    ImageLoader.cpp:28-95): .hdr -> float32 (H,W,3); PNG via the built-in
+    reader; JPEG/anything else via PIL when available. as_float converts
+    LDR images to [0,1] float32."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".hdr":
+        return read_hdr(path)
+    if ext == ".png":
+        img = read_png(path)
+    else:
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover
+            raise ValueError(
+                f"{path}: format {ext!r} needs PIL (not available)"
+            ) from e
+        with Image.open(path) as im:
+            img = np.asarray(im.convert("RGBA" if im.mode in ("RGBA", "LA", "P") else "RGB"))
+    if as_float:
+        return img.astype(np.float32) / 255.0
+    return img
