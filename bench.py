@@ -158,13 +158,108 @@ def main():
                                                        enable_taa=False))
     stage("+ 5x a-trous", lambda v: filter_chain(v, gbuf, state, cfg3)[3][..., :3])
 
+    # ---- trace stage: 1080p 1spp 3-bounce MIS (reference conditions,
+    # src/Tracing.h:28-38) on the Cornell box; Mrays/s/chip (BASELINE.md) ----
+    trace_stats = {}
+    try:
+        trace_stats = bench_trace(w, h, fetch_overhead)
+    except Exception as e:  # pragma: no cover
+        log(f"trace bench FAILED: {type(e).__name__}: {e}")
+
     baseline_ms = 6.0
     print(json.dumps({
         "metric": "svgf_denoise_1080p",
         "value": round(filter_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / filter_ms, 2),
+        **trace_stats,
     }))
+
+
+def bench_trace(w, h, fetch_overhead):
+    """Time render_frame (all six stages) and the trace stage alone at 1080p
+    on the Cornell box; report ms/frame and Mrays/s/chip.
+
+    Ray count per pixel (MIS estimator, render/pathtrace._bounce_mis):
+    per bounce one NEE shadow ray + one MIS bsdf ray + 2 x n_area_lights
+    SampleLightsPDF re-traces (Common.cuh:635-715), plus a next-bounce
+    re-trace for lanes whose MIS hit is not reused, plus the primary when
+    hybrid_primary is off (the G-buffer pass casts it instead, so it is
+    counted either way).
+    """
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from svgf_tpu.config import RenderConfig, SVGFConfig, TracingConfig
+    from svgf_tpu.render.pipeline import render_frame
+    from svgf_tpu.render.types import TemporalState
+    from svgf_tpu.scenes.cornell import cornell_box
+
+    config = RenderConfig(
+        width=w, height=h,
+        tracing=TracingConfig(batch=1, bounces=3, clamp=10.0),
+        svgf=SVGFConfig(spatial_filter_steps=5),
+        trace_chunks=8,
+        state_dtype="float16",
+    )
+    scene = cornell_box()
+    scene.cameras[0].aspect = w / h
+    arrays = scene.flatten()
+    n_area_lights = sum(1 for li in arrays.meta.light_instance if li >= 0)
+    b = config.tracing.bounces
+    rays_pp = 1 + b * (2 + 2 * n_area_lights) + (b - 1)
+    total_rays = rays_pp * w * h * config.tracing.batch
+
+    state0 = TemporalState.initial(h, w, jnp.dtype(config.state_dtype))
+
+    def frame(st):
+        out, new = render_frame(arrays, st, config)
+        return new
+
+    step = jax.jit(frame, donate_argnums=(0,))
+    log("compiling 1080p render_frame (cornell)...")
+    state = step(state0)
+    _fetch(state.color)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = step(state)
+        _fetch(state.color)
+        best = min(best, time.perf_counter() - t0)
+    frame_ms = (best - fetch_overhead) * 1e3
+
+    # trace+gbuffer alone: filter stages off
+    cfg_t = dc.replace(
+        config, svgf=SVGFConfig(spatial_filter_steps=0, enable_taa=False)
+    )
+
+    def trace_only(st):
+        out, new = render_frame(arrays, st, cfg_t)
+        return new
+
+    step_t = jax.jit(trace_only, donate_argnums=(0,))
+    log("compiling trace-only step...")
+    state_t = step_t(TemporalState.initial(h, w, jnp.dtype(config.state_dtype)))
+    _fetch(state_t.color)
+    best_t = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_t = step_t(state_t)
+        _fetch(state_t.color)
+        best_t = min(best_t, time.perf_counter() - t0)
+    trace_ms = (best_t - fetch_overhead) * 1e3
+
+    mrays = total_rays / (trace_ms * 1e-3) / 1e6
+    log(f"1080p frame (6 stages, cornell): {frame_ms:.2f} ms/frame")
+    log(f"1080p trace+gbuffer: {trace_ms:.2f} ms  "
+        f"({rays_pp} rays/px -> {mrays:.1f} Mrays/s/chip)")
+    return {
+        "frame_ms_1080p_cornell": round(frame_ms, 2),
+        "trace_ms_1080p_cornell": round(trace_ms, 2),
+        "mrays_per_s_per_chip": round(mrays, 1),
+    }
 
 
 if __name__ == "__main__":

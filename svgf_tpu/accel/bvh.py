@@ -262,21 +262,18 @@ class TLAS:
     leaf_instance: np.ndarray
 
 
-def build_tlas(inst_min: np.ndarray, inst_max: np.ndarray) -> TLAS:
-    """Agglomerative (best-match) bottom-up build over instance world AABBs."""
+def _agglomerative_tree(inst_min: np.ndarray, inst_max: np.ndarray) -> dict | None:
+    """Agglomerative (best-match) bottom-up tree over instance world AABBs
+    (reference tlas::Build / FindBestMatch, BVH.cpp:262-346). Returns the
+    root node dict, or None for zero instances."""
     I = inst_min.shape[0]
+    if I == 0:
+        return None
     nodes = [
         {"lo": inst_min[i].astype(np.float64), "hi": inst_max[i].astype(np.float64),
          "inst": i, "left": None, "right": None}
         for i in range(I)
     ]
-    if I == 0:
-        return TLAS(
-            node_min=np.zeros((0, 3), np.float32),
-            node_max=np.zeros((0, 3), np.float32),
-            skip=np.zeros((0,), np.int32),
-            leaf_instance=np.zeros((0,), np.int32),
-        )
 
     def pair_area(a, b):
         lo = np.minimum(a["lo"], b["lo"])
@@ -304,8 +301,19 @@ def build_tlas(inst_min: np.ndarray, inst_max: np.ndarray) -> TLAS:
             "right": b,
         }
         work = [w for k, w in enumerate(work) if k not in (i, j)] + [merged]
+    return work[0]
 
-    root = work[0]
+
+def build_tlas(inst_min: np.ndarray, inst_max: np.ndarray) -> TLAS:
+    """Agglomerative (best-match) bottom-up build over instance world AABBs."""
+    root = _agglomerative_tree(inst_min, inst_max)
+    if root is None:
+        return TLAS(
+            node_min=np.zeros((0, 3), np.float32),
+            node_max=np.zeros((0, 3), np.float32),
+            skip=np.zeros((0,), np.int32),
+            leaf_instance=np.zeros((0,), np.int32),
+        )
     node_min, node_max, skip, leaf_inst = [], [], [], []
 
     def count_nodes(nd):
@@ -389,3 +397,113 @@ def flatten_blases(blases: list[BLAS], tri_counts: list[int]) -> FlatBVH:
         shape_node_count=np.asarray(node_count, dtype=np.int32),
         shape_tri_start=np.asarray(tri_start, dtype=np.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stitched two-level scene BVH — the TPU traversal form of the reference's
+# IntersectTLAS (PathTrace.cuh:90-142): the agglomerative TLAS hierarchy on
+# top, each instance leaf spliced with the shape's BLAS whose node AABBs are
+# conservatively transformed to world space (8-corner transform, same as the
+# reference's instance AABB, Scene.cpp:355-373). One flat skip-linked array,
+# so traversal is the same single-int-state while_loop as a BLAS — no
+# per-instance lockstep scan, no per-lane ray re-transforms.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SceneBVH:
+    """World-space skip-linked BVH over every instance's triangles.
+
+    leaf_tri: (N,) int32 — world-triangle-soup column at leaves, -1 internal.
+    """
+
+    node_min: np.ndarray
+    node_max: np.ndarray
+    skip: np.ndarray
+    leaf_tri: np.ndarray
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+def _transform_aabbs(lo: np.ndarray, hi: np.ndarray, m: np.ndarray):
+    """World AABBs of object AABBs under affine m (vectorized 8-corner
+    transform; conservative)."""
+    corners = np.stack(
+        [
+            np.stack([lo[:, 0] if x == 0 else hi[:, 0],
+                      lo[:, 1] if y == 0 else hi[:, 1],
+                      lo[:, 2] if z == 0 else hi[:, 2]], axis=-1)
+            for x in (0, 1) for y in (0, 1) for z in (0, 1)
+        ],
+        axis=1,
+    )  # (N, 8, 3)
+    wc = corners @ m[:3, :3].T + m[:3, 3]
+    return wc.min(axis=1).astype(np.float32), wc.max(axis=1).astype(np.float32)
+
+
+def build_scene_bvh(
+    inst_min: np.ndarray,        # (I, 3) instance world AABB min
+    inst_max: np.ndarray,        # (I, 3)
+    inst_shape: np.ndarray,      # (I,) shape id per instance
+    inst_transform: np.ndarray,  # (I, 4, 4)
+    blases: list,                # per-shape BLAS
+    inst_world_start: np.ndarray,  # (I,) first world-soup column per instance
+) -> SceneBVH:
+    root = _agglomerative_tree(inst_min, inst_max)
+    if root is None:
+        return SceneBVH(
+            node_min=np.zeros((1, 3), np.float32),
+            node_max=np.zeros((1, 3), np.float32),
+            skip=np.ones((1,), np.int32),
+            leaf_tri=np.full((1,), -1, np.int32),
+        )
+
+    # subtree node counts with instance leaves expanded to their BLAS size
+    def size_of(nd) -> int:
+        if nd["left"] is None:
+            return blases[int(inst_shape[nd["inst"]])].n_nodes
+        nd["lsize"] = size_of(nd["left"])
+        nd["rsize"] = size_of(nd["right"])
+        return 1 + nd["lsize"] + nd["rsize"]
+
+    total = size_of(root)
+    node_min = np.zeros((total, 3), np.float32)
+    node_max = np.zeros((total, 3), np.float32)
+    skip = np.zeros((total,), np.int32)
+    leaf_tri = np.full((total,), -1, np.int32)
+
+    stack = [(root, 0, total)]
+    while stack:
+        nd, at, skip_to = stack.pop()
+        if nd["left"] is None:
+            i = int(nd["inst"])
+            b = blases[int(inst_shape[i])]
+            n = b.n_nodes
+            wlo, whi = _transform_aabbs(
+                b.node_min, b.node_max, np.asarray(inst_transform[i], np.float64)
+            )
+            node_min[at : at + n] = wlo
+            node_max[at : at + n] = whi
+            # local skip links -> global; the local done sentinel (== n)
+            # continues at this subtree's skip_to
+            skip[at : at + n] = np.where(b.skip >= n, skip_to, b.skip + at)
+            # MAX_LEAF == 1: leaf triangle = tri_order[tri_first]
+            lt = np.where(
+                b.tri_count > 0,
+                b.tri_order[np.clip(b.tri_first, 0, max(len(b.tri_order) - 1, 0))]
+                + int(inst_world_start[i]),
+                -1,
+            )
+            leaf_tri[at : at + n] = lt
+        else:
+            node_min[at] = nd["lo"]
+            node_max[at] = nd["hi"]
+            skip[at] = skip_to
+            left_at = at + 1
+            right_at = left_at + nd["lsize"]
+            stack.append((nd["left"], left_at, right_at))
+            stack.append((nd["right"], right_at, skip_to))
+    return SceneBVH(node_min=node_min, node_max=node_max, skip=skip,
+                    leaf_tri=leaf_tri)

@@ -197,6 +197,9 @@ class SceneMeta:
     # True compiles real atlas sampling into the tracer (PARITY.md).
     textures_enabled: bool = False
     has_normal_maps: bool = False  # any material with a normal texture
+    # True when the stitched scene BVH is the closest-hit path (soup larger
+    # than the dense-intersector crossover, ops.intersect.DENSE_MAX_TRIS)
+    has_scene_bvh: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -231,6 +234,18 @@ class SceneArrays:
     world_tri_inst: jax.Array  # (TW,) i32, -1 = padding
     world_tri_mat: jax.Array   # (TW,) i32
     world_tri_prim: jax.Array  # (TW,) i32 — object-space global triangle id
+    # stitched two-level scene BVH (accel.bvh.build_scene_bvh): TLAS
+    # hierarchy over instances + world-transformed BLAS subtrees, one flat
+    # skip-linked array — the traversal form of the reference IntersectTLAS
+    # (PathTrace.cuh:90-142). Built when the soup exceeds the dense-path
+    # crossover (meta.has_scene_bvh); a 1-node placeholder otherwise.
+    wbvh_bounds6: jax.Array  # (6, NW) f32: min_xyz, max_xyz rows
+    wbvh_skip: jax.Array     # (NW,) i32
+    wbvh_leaf_tri: jax.Array # (NW,) i32 — world-soup column at leaf, -1 internal
+    # per-instance world AABBs (8-corner transform, Scene.cpp:355-373) —
+    # used for instance culling in the per-instance traversal path
+    inst_aabb_min: jax.Array # (I, 3) f32
+    inst_aabb_max: jax.Array # (I, 3) f32
     shape_node_start: jax.Array  # (S,) i32
     shape_node_count: jax.Array  # (S,) i32
     shape_tri_start: jax.Array   # (S,) i32 — global triangle base per shape
@@ -389,6 +404,47 @@ class Scene:
         w_prim = np.pad(np.concatenate(ws_prim) if ws_prim else np.zeros(0, np.int32),
                         (0, pad))
 
+        # per-instance world AABBs (8-corner transform of the BLAS root box,
+        # reference scene::CalculateInstanceTransform, Scene.cpp:355-373)
+        from svgf_tpu.accel.bvh import _transform_aabbs, build_scene_bvh
+        from svgf_tpu.ops.intersect import DENSE_MAX_TRIS
+
+        if self.instances:
+            roots_lo = np.stack(
+                [self.shapes[i.shape].blas.root_min for i in self.instances]
+            )
+            roots_hi = np.stack(
+                [self.shapes[i.shape].blas.root_max for i in self.instances]
+            )
+            i_lo = np.zeros((len(self.instances), 3), np.float32)
+            i_hi = np.zeros((len(self.instances), 3), np.float32)
+            for k, i in enumerate(self.instances):
+                lo, hi = _transform_aabbs(
+                    roots_lo[k : k + 1], roots_hi[k : k + 1],
+                    np.asarray(i.transform, np.float64),
+                )
+                i_lo[k], i_hi[k] = lo[0], hi[0]
+        else:
+            i_lo = np.zeros((0, 3), np.float32)
+            i_hi = np.zeros((0, 3), np.float32)
+
+        has_scene_bvh = tw > DENSE_MAX_TRIS
+        if has_scene_bvh:
+            sbvh = build_scene_bvh(
+                i_lo, i_hi,
+                np.asarray([i.shape for i in self.instances], np.int32),
+                np.stack([np.asarray(i.transform, np.float32) for i in self.instances]),
+                [s.blas for s in self.shapes],
+                np.asarray([r[0] for r in inst_ws], np.int32),
+            )
+            wbvh_bounds6 = np.concatenate([sbvh.node_min.T, sbvh.node_max.T], axis=0)
+            wbvh_skip = sbvh.skip
+            wbvh_leaf = sbvh.leaf_tri
+        else:
+            wbvh_bounds6 = np.zeros((6, 1), np.float32)
+            wbvh_skip = np.ones((1,), np.int32)
+            wbvh_leaf = np.full((1,), -1, np.int32)
+
         light_tri_start = tuple(
             int(flat.shape_tri_start[self.instances[int(li)].shape]) if li >= 0 else -1
             for li in lights.instance
@@ -434,6 +490,7 @@ class Scene:
             textures_enabled=tex_on,
             has_normal_maps=tex_on
             and any(m.normal_texture >= 0 for m in self.materials),
+            has_scene_bvh=has_scene_bvh,
         )
         # Instance ids ride through f32 channels in the temporal filter
         # (render/svgf.py mesh_ok) and through a u16 lane in the Pallas
@@ -471,6 +528,11 @@ class Scene:
             world_tri_inst=i32(w_inst),
             world_tri_mat=i32(w_mat),
             world_tri_prim=i32(w_prim),
+            wbvh_bounds6=f32(wbvh_bounds6),
+            wbvh_skip=i32(wbvh_skip),
+            wbvh_leaf_tri=i32(wbvh_leaf),
+            inst_aabb_min=f32(i_lo),
+            inst_aabb_max=f32(i_hi),
             shape_node_start=i32(flat.shape_node_start),
             shape_node_count=i32(flat.shape_node_count),
             shape_tri_start=i32(flat.shape_tri_start),

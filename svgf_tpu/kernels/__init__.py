@@ -7,7 +7,10 @@ fallback). `resolve_pallas(mode)` implements the config.use_pallas policy.
 
 import jax
 
-from svgf_tpu.kernels.atrous_pallas import atrous_iteration_pallas
+from svgf_tpu.kernels.atrous_pallas import (
+    atrous_chain_pallas,
+    atrous_iteration_pallas,
+)
 from svgf_tpu.kernels.moments_pallas import filter_moments_pallas
 from svgf_tpu.kernels.taa_pallas import taa_pallas
 from svgf_tpu.kernels.temporal_pallas import (
@@ -43,6 +46,7 @@ def resolve_pallas(mode: str) -> tuple[bool, bool]:
 
 
 __all__ = [
+    "atrous_chain_pallas",
     "atrous_iteration_pallas",
     "filter_moments_pallas",
     "taa_pallas",

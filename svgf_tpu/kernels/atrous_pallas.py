@@ -171,6 +171,241 @@ TILE_H = 128
 TILE_W = 512
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Planar whole-chain driver: pack + pad ONCE for all iterations
+# ---------------------------------------------------------------------------
+#
+# atrous_iteration_pallas's wrapper re-stacks 9 planes, zero-pads them, and
+# un-moveaxis's the output through HBM on EVERY iteration — at 1080p that is
+# ~3x the kernel's own HBM traffic, repeated 5 times. The chain variant
+# keeps everything planar and max-padded across iterations:
+#   * the 5 static G-buffer planes (z fixed 0->1e30, depth-deriv, normal)
+#     are packed+padded once;
+#   * the 4 colour planes ping-pong between two persistent max-padded
+#     buffers; each pallas_call writes tile interiors into the pong buffer
+#     (input_output_aliased) so the zero padding survives all iterations —
+#     zero padded NORMALS give out-of-image taps weight 0 exactly like the
+#     reference's inside-mask (Filter.cuh:571-577), so the colour padding
+#     values are never observable;
+#   * only the final result (and the iteration-0 feedback, Filter.cuh:619-622)
+#     are sliced back to (H, W, 4).
+
+
+def _atrous_chain_kernel(colors_hbm, static_hbm, alias_hbm, out_hbm,
+                         cscr, sscr, pre, shift, out_vmem, csem, ssem, osem,
+                         *, step, phi_colour, phi_normal, th, tw, ha, ca,
+                         pad_y, pad_x, nh, nw):
+    del alias_hbm  # aliased to out_hbm; kept zero-padded, interior overwritten
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * nw + j
+    eh = th + 2 * ha
+    ew = tw + 2 * ca
+    ry = pad_y - ha
+    rx = pad_x - ca
+
+    def copies(slot, ti, tj):
+        return (
+            pltpu.make_async_copy(
+                colors_hbm.at[:, pl.ds(ry + ti * th, eh), pl.ds(rx + tj * tw, ew)],
+                cscr.at[slot], csem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                static_hbm.at[:, pl.ds(ry + ti * th, eh), pl.ds(rx + tj * tw, ew)],
+                sscr.at[slot], ssem.at[slot],
+            ),
+        )
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for c in copies(0, i, j):
+            c.start()
+
+    for c in copies(slot, i, j):
+        c.wait()
+
+    @pl.when(t + 1 < nh * nw)
+    def _():
+        tn = t + 1
+        for c in copies(jax.lax.rem(tn, 2), tn // nw, jax.lax.rem(tn, nw)):
+            c.start()
+
+    # pre planes: 0-2 rgb clipped, 3 var clipped, 4 lum, 5 z (prefixed),
+    # 6-8 normal — same layout as _atrous_kernel, but z/normals are copies
+    # from the static scratch (the 0->1e30 fixup happened at pack time)
+    c0 = jnp.clip(cscr[slot, 0], 0.0, 1.0)
+    c1 = jnp.clip(cscr[slot, 1], 0.0, 1.0)
+    c2 = jnp.clip(cscr[slot, 2], 0.0, 1.0)
+    pre[0] = c0
+    pre[1] = c1
+    pre[2] = c2
+    pre[3] = jnp.clip(cscr[slot, 3], 0.0, 1.0)
+    pre[4] = _LUM[0] * c0 + _LUM[1] * c1 + _LUM[2] * c2
+    pre[5] = sscr[slot, 0]
+    pre[6] = sscr[slot, 2]
+    pre[7] = sscr[slot, 3]
+    pre[8] = sscr[slot, 4]
+
+    def ctr(k):
+        return pre[k, ha : ha + th, ca : ca + tw]
+
+    c_rgb = [ctr(0), ctr(1), ctr(2)]
+    c_var = ctr(3)
+    l_c = ctr(4)
+    z_c = ctr(5)
+    invalid = z_c >= 1e29
+    zd = sscr[slot, 1, ha : ha + th, ca : ca + tw]
+    n_c = (ctr(6), ctr(7), ctr(8))
+
+    inv_l = pl.reciprocal(
+        phi_colour * jnp.sqrt(jnp.maximum(0.0, 1e-10 + c_var)), approx=False
+    )
+    inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-6) * step, approx=False)
+
+    sum_w = jnp.ones((th, tw), jnp.float32)
+    acc = [c_rgb[0], c_rgb[1], c_rgb[2], c_var]
+
+    use_shift = (step % 8) != 0
+
+    for dy in (-2, -1, 0, 1, 2):
+        oy = dy * step
+        if use_shift:
+            shift[...] = pre[:, ha + oy : ha + oy + th, :]
+
+            def sp(k, dx):
+                return shift[k, :, ca + dx : ca + dx + tw]
+        else:
+
+            def sp(k, dx, oy=oy):
+                return pre[k, ha + oy : ha + oy + th, ca + dx : ca + dx + tw]
+
+        for dx in (-2, -1, 0, 1, 2):
+            if dy == 0 and dx == 0:
+                continue
+            ox = dx * step
+            l_p = sp(4, ox)
+            z_p = sp(5, ox)
+            ndot = n_c[0] * sp(6, ox) + n_c[1] * sp(7, ox) + n_c[2] * sp(8, ox)
+            w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
+            inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
+            w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
+            w_l = jnp.abs(l_c - l_p) * inv_l
+            k1d = _KERNEL_1D[abs(dx)] * _KERNEL_1D[abs(dy)]
+            w = jnp.exp(-w_l - w_z) * w_n * k1d
+            sum_w = sum_w + w
+            acc[0] = acc[0] + w * sp(0, ox)
+            acc[1] = acc[1] + w * sp(1, ox)
+            acc[2] = acc[2] + w * sp(2, ox)
+            acc[3] = acc[3] + w * w * sp(3, ox)
+
+    inv = pl.reciprocal(sum_w, approx=False)
+    out_vmem[0] = jnp.where(invalid, c_rgb[0], acc[0] * inv)
+    out_vmem[1] = jnp.where(invalid, c_rgb[1], acc[1] * inv)
+    out_vmem[2] = jnp.where(invalid, c_rgb[2], acc[2] * inv)
+    out_vmem[3] = jnp.where(invalid, c_var, acc[3] * (inv * inv))
+    wr = pltpu.make_async_copy(
+        out_vmem,
+        out_hbm.at[:, pl.ds(pad_y + i * th, th), pl.ds(pad_x + j * tw, tw)],
+        osem,
+    )
+    wr.start()
+    wr.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "phi_colour", "phi_normal", "interpret")
+)
+def atrous_chain_pallas(img, gbuf, steps: int, phi_colour: float,
+                        phi_normal: float, interpret: bool = False):
+    """Run the full wavelet loop (App.cu:491-514; step = 1, 2, 4, ...) with
+    one plane pack + pad for the whole chain. Returns (final, feedback):
+    `feedback` is iteration-0's output (Filter.cuh:619-622).
+
+    Drop-in for svgf.wavelet_filter's first two return values when steps>=1.
+    """
+    assert steps >= 1
+    h, w = img.shape[:2]
+    th, tw = TILE_H, TILE_W
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+
+    halos = [2 * (1 << k) for k in range(steps)]
+    has = [max(_round_up(hk, 8), 8) for hk in halos]
+    cas = [max(_round_up(hk, 128), 128) for hk in halos]
+    pad_y, pad_x = max(has), max(cas)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (pad_y, pad_y + hp - h), (pad_x, pad_x + wp - w)))
+
+    z = gbuf.depth.astype(jnp.float32)
+    z = jnp.where(z == 0.0, 1e30, z)  # get_depth fixup, once for all iterations
+    static = pad(jnp.stack(
+        [
+            z,
+            gbuf.depth_deriv.astype(jnp.float32),
+            gbuf.normal[..., 0].astype(jnp.float32),
+            gbuf.normal[..., 1].astype(jnp.float32),
+            gbuf.normal[..., 2].astype(jnp.float32),
+        ],
+        axis=0,
+    ))
+    colors = pad(jnp.stack([img[..., c].astype(jnp.float32) for c in range(4)], 0))
+    pong = jnp.zeros_like(colors)
+    bufs = [colors, pong]
+
+    nh, nw = hp // th, wp // tw
+    HP, WP = hp + 2 * pad_y, wp + 2 * pad_x
+
+    def extract(buf):
+        return jnp.moveaxis(buf[:, pad_y : pad_y + h, pad_x : pad_x + w], 0, -1)
+
+    feedback = None
+    for k in range(steps):
+        ha, ca = has[k], cas[k]
+        eh, ew = th + 2 * ha, tw + 2 * ca
+        src, dst = bufs[k % 2], bufs[(k + 1) % 2]
+        dst = pl.pallas_call(
+            functools.partial(
+                _atrous_chain_kernel, step=1 << k, phi_colour=phi_colour,
+                phi_normal=phi_normal, th=th, tw=tw, ha=ha, ca=ca,
+                pad_y=pad_y, pad_x=pad_x, nh=nh, nw=nw,
+            ),
+            grid=(nh, nw),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            out_shape=jax.ShapeDtypeStruct((4, HP, WP), jnp.float32),
+            input_output_aliases={2: 0},
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, eh, ew), jnp.float32),
+                pltpu.VMEM((2, 5, eh, ew), jnp.float32),
+                pltpu.VMEM((9, eh, ew), jnp.float32),
+                pltpu.VMEM((9 if (1 << k) % 8 else 1, th, ew), jnp.float32),
+                pltpu.VMEM((4, th, tw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(src, static, dst)
+        bufs[(k + 1) % 2] = dst
+        if k == 0:
+            feedback = extract(dst)
+    return extract(bufs[steps % 2]), feedback
+
+
 @functools.partial(
     jax.jit, static_argnames=("step", "phi_colour", "phi_normal", "interpret")
 )

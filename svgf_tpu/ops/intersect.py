@@ -131,6 +131,61 @@ def traverse_shape(scene, shape_id, ro, rd, hit: Hit, instance_id, material_id,
 DENSE_MAX_TRIS = 16384
 
 
+def traverse_scene_bvh(scene, ro, rd, hit: Hit, active, any_hit: bool = False) -> Hit:
+    """Stitched two-level scene-BVH traversal (reference IntersectTLAS,
+    PathTrace.cuh:90-142, as ONE flat skip-linked world-space walk —
+    accel.bvh.build_scene_bvh).
+
+    ro / rd are component tuples of (R,) WORLD-space arrays — no per-node
+    instance transforms: the TLAS levels and the spliced BLAS levels both
+    store world AABBs, and leaves index the pre-transformed triangle soup.
+    Per-ray state stays a single int; every step is gathers + elementwise
+    VPU math over the whole batch (see module docstring).
+    """
+    node_count = scene.wbvh_skip.shape[0]
+    inv_rd = tuple(1.0 / d for d in rd)
+    R = ro[0].shape[0]
+    node0 = jnp.where(active, jnp.zeros(R, jnp.int32), node_count)
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < node_count)
+
+    def body(state):
+        node, h = state
+        live = node < node_count
+        g = jnp.minimum(node, node_count - 1)
+        b = scene.wbvh_bounds6[:, g]                        # (6, R)
+        t_box = ray_aabb_comp(ro, inv_rd, (b[0], b[1], b[2]), (b[3], b[4], b[5]),
+                              h.dist)
+        box_hit = live & (t_box < MAX_LENGTH)
+
+        leaf_tri = scene.wbvh_leaf_tri[g]                   # (R,) soup column
+        is_leaf = leaf_tri >= 0
+        tri = jnp.maximum(leaf_tri, 0)
+        v = scene.world_tris9[:, tri]                       # (9, R)
+        t, u, vv, m = ray_triangle_comp(
+            ro, rd, (v[0], v[1], v[2]), (v[3], v[4], v[5]), (v[6], v[7], v[8])
+        )
+        closer = box_hit & is_leaf & m & (t < h.dist)
+        h = Hit(
+            dist=jnp.where(closer, t, h.dist),
+            u=jnp.where(closer, u, h.u),
+            v=jnp.where(closer, vv, h.v),
+            prim=jnp.where(closer, scene.world_tri_prim[tri], h.prim),
+            instance=jnp.where(closer, scene.world_tri_inst[tri], h.instance),
+            material=jnp.where(closer, scene.world_tri_mat[tri], h.material),
+        )
+        nxt = jnp.where(box_hit & ~is_leaf, node + 1, scene.wbvh_skip[g])
+        if any_hit:
+            nxt = jnp.where(closer, node_count, nxt)
+        nxt = jnp.where(live, nxt, node)
+        return nxt, h
+
+    _, hit = jax.lax.while_loop(cond, body, (node0, hit))
+    return hit
+
+
 def intersect_dense(scene, ro, rd, active=None, any_hit: bool = False,
                     tmax=None, only_instance=None) -> Hit:
     """Dense intersection against the pre-transformed world triangle soup.
@@ -228,13 +283,29 @@ def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
     roc = (ro[:, 0], ro[:, 1], ro[:, 2])
     rdc = (rd[:, 0], rd[:, 1], rd[:, 2])
 
+    if scene.meta.has_scene_bvh and only_instance is None:
+        # stitched TLAS+BLAS world walk: one traversal per ray regardless of
+        # instance count (the many-instance fast path)
+        return traverse_scene_bvh(scene, roc, rdc, hit, active, any_hit=any_hit)
+
+    inv_rdc = tuple(1.0 / d for d in rdc)
+
     def step(h, i):
+        # instance culling against the TLAS leaf AABB (the role of the
+        # reference's TLAS interior tests, PathTrace.cuh:103-141): rays
+        # missing this instance's world box skip its BLAS walk entirely
+        lo = scene.inst_aabb_min[i]
+        hi = scene.inst_aabb_max[i]
+        t_box = ray_aabb_comp(
+            roc, inv_rdc, (lo[0], lo[1], lo[2]), (hi[0], hi[1], hi[2]), h.dist
+        )
+        act_i = active & (t_box < MAX_LENGTH)
         inv = scene.inst_inv_transform[i]
         ro_o = transform_point3(inv, roc)
         rd_o = transform_vector3(inv, rdc)  # NOT normalized (world-unit t)
         h = traverse_shape(
             scene, scene.inst_shape[i], ro_o, rd_o, h,
-            i, scene.inst_material[i], active, any_hit=any_hit,
+            i, scene.inst_material[i], act_i, any_hit=any_hit,
         )
         return h, None
 

@@ -299,16 +299,27 @@ def render_frame_sharded(scene, state: TemporalState, config: RenderConfig, mesh
     return make_sharded_step(config, mesh)(scene, state)
 
 
-def make_train_step(config: RenderConfig, mesh: Mesh):
-    """Differentiable sharded step: gradient of an image loss w.r.t. material
-    colour/emission (replicated params — shard_map's backward inserts the
-    cross-chip psum for them automatically, the DP grad-sync analogue)."""
+def make_train_step(
+    config: RenderConfig,
+    mesh: Mesh,
+    param_fields: tuple = ("mat_colour", "mat_emission"),
+):
+    """Differentiable sharded step: gradient of an image loss w.r.t. any
+    SceneArrays leaves named in `param_fields` (replicated params —
+    shard_map's backward inserts the cross-chip psum for them automatically,
+    the DP grad-sync analogue).
+
+    Differentiable groups (north star: materials, lights, CAMERA):
+      materials — "mat_colour", "mat_emission", "mat_roughness", ...
+      lights    — "mat_emission" (area lights are emissive materials),
+                  "env_emission"
+      camera    — "cam_frame" (ray generation render/gbuffer.py:27 is smooth;
+                  discrete hit ids are constants per SURVEY §7.1)
+    """
     step = make_sharded_step(config, mesh)
 
     def loss_fn(params, scene, state, target):
-        scene = dataclasses.replace(
-            scene, mat_colour=params["colour"], mat_emission=params["emission"]
-        )
+        scene = dataclasses.replace(scene, **params)
         out, new_state = step(scene, state)
         return jnp.mean((out.final - target) ** 2), new_state
 
@@ -319,3 +330,8 @@ def make_train_step(config: RenderConfig, mesh: Mesh):
         return loss, grads, new_state
 
     return jax.jit(train_step)
+
+
+def init_params(scene, param_fields: tuple = ("mat_colour", "mat_emission")):
+    """Extract the trainable leaves for make_train_step."""
+    return {f: getattr(scene, f) for f in param_fields}

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from svgf_tpu.config import DebugOutput, RenderConfig
 from svgf_tpu.kernels import (
-    atrous_iteration_pallas,
+    atrous_chain_pallas,
     filter_moments_pallas,
     pack_prev_planes,
     resolve_pallas,
@@ -102,19 +102,24 @@ def filter_chain(radiance, gbuf, state: TemporalState, config: RenderConfig):
             )
 
     # ---- 5. A-trous wavelet chain ----
-    atrous_fn = (
-        functools.partial(atrous_iteration_pallas, interpret=interp)
-        if pallas_on else None
-    )
     with jax.named_scope("wavelet"):
-        atrous_out, feedback, _ = svgf.wavelet_filter(
-            moments_out,
-            gbuf,
-            steps=config.svgf.spatial_filter_steps,
-            phi_colour=config.svgf.phi_colour,
-            phi_normal=config.svgf.phi_normal,
-            atrous_fn=atrous_fn,
-        )
+        if pallas_on and config.svgf.spatial_filter_steps > 0:
+            # whole-chain planar driver: one plane pack/pad for all steps
+            atrous_out, feedback = atrous_chain_pallas(
+                moments_out, gbuf,
+                steps=config.svgf.spatial_filter_steps,
+                phi_colour=config.svgf.phi_colour,
+                phi_normal=config.svgf.phi_normal,
+                interpret=interp,
+            )
+        else:
+            atrous_out, feedback, _ = svgf.wavelet_filter(
+                moments_out,
+                gbuf,
+                steps=config.svgf.spatial_filter_steps,
+                phi_colour=config.svgf.phi_colour,
+                phi_normal=config.svgf.phi_normal,
+            )
     # steps==0: RenderBuffer keeps the temporal output (no iteration-0 write)
     if config.svgf.spatial_filter_steps == 0:
         feedback = tres.color
@@ -268,6 +273,26 @@ class Renderer:
                 jnp.asarray(cam.previous_frame)
             ),
         )
+
+    # ---- incremental scene edits (core.edits; reference BVH.cpp:491-583,
+    # Scene.cpp:447-451, AssetLoader.cpp:11-55) ----
+
+    def update_material(self, index: int, material) -> None:
+        from svgf_tpu.core.edits import update_material
+
+        self.arrays = update_material(self.scene, self.arrays, index, material)
+
+    def update_instance_transform(self, index: int, transform) -> None:
+        from svgf_tpu.core.edits import update_instance_transform
+
+        self.arrays = update_instance_transform(
+            self.scene, self.arrays, index, transform
+        )
+
+    def add_asset(self, path: str) -> None:
+        from svgf_tpu.core.edits import add_asset
+
+        self.scene, self.arrays = add_asset(self.scene, path)
 
     def step(self) -> FrameOutputs:
         out, self.state = self._step(self.arrays, self.state)

@@ -129,3 +129,66 @@ def test_tmax_occlusion(cornell_arrays, intersect_scene):
     # limiting tmax below the first hit yields a miss (dist stays at tmax)
     h2 = intersect_scene(cornell_arrays, ro, rd, tmax=jnp.asarray(0.1))
     np.testing.assert_allclose(np.asarray(h2.dist), 0.1)
+
+
+def test_scene_bvh_large_mesh_matches_brute_force():
+    """>16k-triangle scene exercises the stitched TLAS+BLAS world walk
+    (has_scene_bvh); spot-check against brute force (VERDICT #5)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from svgf_tpu.core.camera import Camera
+    from svgf_tpu.core.scene import Instance, Material, Scene, Shape
+    from svgf_tpu.ops.intersect import (
+        DENSE_MAX_TRIS,
+        intersect_brute_force,
+        intersect_scene,
+    )
+
+    rng = np.random.default_rng(7)
+    # bumpy grid mesh: (G-1)^2 * 2 triangles
+    G = 100  # 19,602 tris > DENSE_MAX_TRIS
+    xs, ys = np.meshgrid(np.linspace(-2, 2, G), np.linspace(-2, 2, G))
+    zs = 0.35 * np.sin(3 * xs) * np.cos(2 * ys)
+    P = np.stack([xs, ys, zs], -1).reshape(-1, 3).astype(np.float32)
+    quad = np.arange(G * G).reshape(G, G)
+    a, b, c, d = quad[:-1, :-1], quad[:-1, 1:], quad[1:, :-1], quad[1:, 1:]
+    F = np.concatenate(
+        [np.stack([a, b, c], -1).reshape(-1, 3), np.stack([b, d, c], -1).reshape(-1, 3)]
+    ).astype(np.int32)
+
+    t2 = np.eye(4, dtype=np.float32)
+    t2[:3, 3] = [0.3, 0.1, 1.5]
+    t2[:3, :3] *= 0.5
+    scene = Scene(
+        cameras=[Camera()],
+        shapes=[Shape(positions=P, indices=F)],
+        instances=[Instance(shape=0, material=0),
+                   Instance(shape=0, material=1, transform=t2)],
+        materials=[Material(colour=(1, 0, 0)), Material(colour=(0, 1, 0))],
+    )
+    arrays = scene.flatten()
+    assert arrays.meta.n_world_tris > DENSE_MAX_TRIS
+    assert arrays.meta.has_scene_bvh
+
+    R = 128
+    ro = rng.uniform(-1.5, 1.5, (R, 3)).astype(np.float32)
+    ro[:, 2] = 3.0
+    rd = rng.normal(size=(R, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    fast = jax.jit(intersect_scene)(arrays, jnp.asarray(ro), jnp.asarray(rd))
+    slow = jax.jit(intersect_brute_force)(arrays, jnp.asarray(ro), jnp.asarray(rd))
+    hit_frac = float(jnp.mean(fast.valid))
+    assert hit_frac > 0.25
+    np.testing.assert_array_equal(np.asarray(fast.valid), np.asarray(slow.valid))
+    ok = np.asarray(fast.valid)
+    np.testing.assert_allclose(
+        np.asarray(fast.dist)[ok], np.asarray(slow.dist)[ok], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.instance)[ok], np.asarray(slow.instance)[ok]
+    )
+    np.testing.assert_array_equal(np.asarray(fast.prim)[ok], np.asarray(slow.prim)[ok])

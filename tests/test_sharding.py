@@ -154,10 +154,11 @@ def test_sharded_train_step(mesh, scene_arrays):
     cfg = make_config(svgf=SVGFConfig(spatial_filter_steps=2, enable_taa=False))
     train = make_train_step(cfg, mesh)
     state = TemporalState.initial(H, W, jnp.float32)
-    params = {"colour": scene_arrays.mat_colour, "emission": scene_arrays.mat_emission}
+    params = {"mat_colour": scene_arrays.mat_colour,
+              "mat_emission": scene_arrays.mat_emission}
     target = jnp.zeros((H, W, 3))
     loss, grads, state = train(params, scene_arrays, state, target)
     assert np.isfinite(float(loss))
-    g = np.asarray(grads["colour"])
+    g = np.asarray(grads["mat_colour"])
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
