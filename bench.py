@@ -201,15 +201,19 @@ def bench_trace(w, h, fetch_overhead):
         width=w, height=h,
         tracing=TracingConfig(batch=1, bounces=3, clamp=10.0),
         svgf=SVGFConfig(spatial_filter_steps=5),
-        trace_chunks=8,
+        trace_chunks=32,
         state_dtype="float16",
+        keep_taps=False,   # perf path: don't keep every stage live (config.py)
     )
     scene = cornell_box()
     scene.cameras[0].aspect = w / h
     arrays = scene.flatten()
-    n_area_lights = sum(1 for li in arrays.meta.light_instance if li >= 0)
     b = config.tracing.bounces
-    rays_pp = 1 + b * (2 + 2 * n_area_lights) + (b - 1)
+    # per MIS bounce: one NEE shadow ray + one MIS bsdf ray (their hits also
+    # supply the light pdfs — sample_lights_pdf_from_hit, no per-light
+    # re-traces), plus a next-bounce re-trace for non-reused lanes, plus the
+    # G-buffer primary
+    rays_pp = 1 + 2 * b + (b - 1)
     total_rays = rays_pp * w * h * config.tracing.batch
 
     state0 = TemporalState.initial(h, w, jnp.dtype(config.state_dtype))

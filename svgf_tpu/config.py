@@ -92,6 +92,13 @@ class RenderConfig:
     svgf: SVGFConfig = dataclasses.field(default_factory=SVGFConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     debug_output: DebugOutput = DebugOutput.FINAL
+    # Materialize every intermediate stage in FrameOutputs (radiance,
+    # temporal, moments, a-trous, gbuffer). Keeping them all live to the end
+    # of the frame program costs ~40% wall-clock at 1080p (XLA live-range /
+    # copy pressure around the chunked trace), so perf paths turn this off —
+    # the reference likewise only renders the buffers its debug mode needs
+    # (App.cu:539-690). debug_output != FINAL implies taps regardless.
+    keep_taps: bool = True
     # Storage dtype for temporal state buffers. The reference stores fp16
     # (App.cu:763-773); bfloat16 is the TPU-native choice. "float32" for tests.
     state_dtype: str = "float16"

@@ -141,6 +141,57 @@ def update_instance_transform(scene, arrays, index: int, transform):
     return dataclasses.replace(arrays, **upd)
 
 
+def remove_instance(scene, index: int):
+    """Delete one instance (reference sceneBVH::RemoveInstance,
+    BVH.cpp:519-534 + scene::RemoveInstance, Scene.cpp:441-445 + the GUI
+    delete button, GUI.cpp:170-196).
+
+    Removing an instance re-indexes the TLAS/world soup and can change the
+    light set, i.e. the static SceneMeta — so, like the reference (which
+    rebuilds the TLAS and re-uploads the instance buffers), this returns a
+    full re-flatten; the jitted step retraces once for the new topology.
+    """
+    scene.instances.pop(index)
+    return scene, scene.flatten()
+
+
+def duplicate_instance(scene, index: int):
+    """Duplicate one instance (GUI.cpp:198-215): same shape/material, same
+    transform — the gizmo then moves the copy."""
+    import copy
+
+    scene.instances.append(copy.deepcopy(scene.instances[index]))
+    return scene, scene.flatten()
+
+
+def add_instance(scene, instance):
+    """Append an instance of an existing shape (reference
+    sceneBVH::AddInstance, BVH.cpp:536-547)."""
+    assert 0 <= instance.shape < len(scene.shapes), "unknown shape index"
+    assert 0 <= instance.material < len(scene.materials), "unknown material"
+    scene.instances.append(instance)
+    return scene, scene.flatten()
+
+
+def add_shape(scene, shape, material: int | None = None, transform=None):
+    """Append a shape (+ optionally an instance of it) — reference
+    sceneBVH::AddShape, BVH.cpp:549-583 (which re-uploads the whole BLAS
+    buffer set; here the re-flatten rebuilds the same concatenated arrays).
+    Returns (scene, arrays, shape_index)."""
+    scene.shapes.append(shape)
+    shape_index = len(scene.shapes) - 1
+    if material is not None:
+        from svgf_tpu.core.scene import Instance
+
+        t = np.eye(4, dtype=np.float32) if transform is None else np.asarray(
+            transform, np.float32
+        )
+        scene.instances.append(
+            Instance(transform=t, shape=shape_index, material=material)
+        )
+    return scene, scene.flatten(), shape_index
+
+
 def add_asset(scene, path: str):
     """Import an asset into a live scene (reference LoadAsset,
     AssetLoader.cpp:11-55) and re-flatten.

@@ -200,6 +200,12 @@ class SceneMeta:
     # True when the stitched scene BVH is the closest-hit path (soup larger
     # than the dense-intersector crossover, ops.intersect.DENSE_MAX_TRIS)
     has_scene_bvh: bool = False
+    # material types present in the scene: the BSDF dispatchers only compile
+    # the lobes a scene actually uses (an all-matte scene skips the whole
+    # microfacet/glass machinery — the reference's per-thread switch costs
+    # nothing per absent case, Common.cuh:1197-1267; lockstep lanes would
+    # otherwise pay for every lobe on every lane)
+    mat_types_used: tuple = (0, 1, 2, 3, 4)
 
 
 @jax.tree_util.register_dataclass
@@ -491,6 +497,9 @@ class Scene:
             has_normal_maps=tex_on
             and any(m.normal_texture >= 0 for m in self.materials),
             has_scene_bvh=has_scene_bvh,
+            mat_types_used=tuple(
+                sorted({int(m.material_type) for m in self.materials})
+            ) or (0,),
         )
         # Instance ids ride through f32 channels in the temporal filter
         # (render/svgf.py mesh_ok) and through a u16 lane in the Pallas

@@ -57,6 +57,150 @@ class _Reader:
         return out
 
 
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def size(self, n: int):
+        self.parts.append(struct.pack("<Q", n))
+
+    def ints(self, *vals):
+        self.parts.append(struct.pack(f"<{len(vals)}i", *vals))
+
+    def strvec(self, strs):
+        self.size(len(strs))
+        for s in strs:
+            b = s.encode("utf-8")
+            self.size(len(b))
+            self.raw(b)
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def save_reference_scene(scene: Scene, path: str) -> None:
+    """Writer for the reference's binary format (scene::ToFile,
+    Scene.cpp:515-549) — symmetric with load_reference_scene, so a scene
+    round-trips write -> read -> render, and the reference application's
+    FromFile can open the result.
+
+    Cameras are written in the legacy oldCamStruct layout (112 bytes,
+    Scene.cpp:573-590) because the reference's FromFile unconditionally
+    parses that layout. Shapes write EMPTY vertex vectors + packed triangles:
+    FromFile rebuilds the vertex arrays from the triangles regardless
+    (Scene.cpp:307-345), and the shipped BaseScene uses the same convention.
+    """
+    scene.preprocess()
+    w = _Writer()
+
+    # cameras (oldCamStruct: mat4 + lens/film/aspect/focus + vec3 pad +
+    # aperture + orthographic/controlled + ivec2 pad)
+    w.size(len(scene.cameras))
+    for cam in scene.cameras:
+        frame = np.asarray(cam.frame, np.float32).T  # row-major math -> glm column-major
+        w.raw(frame.tobytes())
+        w.raw(struct.pack("<4f", 0.05, 0.036, float(cam.aspect), 1.0))
+        w.raw(struct.pack("<4f", 0.0, 0.0, 0.0, 0.0))      # padding0 + aperture
+        w.raw(struct.pack("<4i", 0, 1, 0, 0))              # ortho, controlled, pad
+
+    # materials (material POD, Scene.h:69-89 — MaterialType is a float)
+    w.size(len(scene.materials))
+    for m in scene.materials:
+        w.raw(struct.pack(
+            "<16f",
+            *m.emission, m.roughness,
+            *m.colour, m.metallic,
+            0.0, m.anisotropy, float(int(m.material_type)), m.opacity,
+            *m.scattering_colour, m.transmission_depth,
+        ))
+        w.raw(struct.pack(
+            "<4i", m.emission_texture, m.colour_texture,
+            m.roughness_texture, m.normal_texture,
+        ))
+
+    # instances (3x mat4 + aabb + Shape/Index/Material/Selected)
+    w.size(len(scene.instances))
+    for k, inst in enumerate(scene.instances):
+        t = np.asarray(inst.transform, np.float64)
+        inv = np.linalg.inv(t)
+        w.raw(t.astype(np.float32).T.tobytes())
+        w.raw(inv.astype(np.float32).T.tobytes())
+        w.raw(inv.T.astype(np.float32).T.tobytes())        # normal = inv-transpose
+        sh = scene.shapes[inst.shape]
+        pts = sh.tri_pos.reshape(-1, 3).astype(np.float64) @ t[:3, :3].T + t[:3, 3]
+        lo = pts.min(axis=0).astype(np.float32) if len(pts) else np.full(3, 1e30, np.float32)
+        hi = pts.max(axis=0).astype(np.float32) if len(pts) else np.full(3, -1e30, np.float32)
+        w.raw(struct.pack("<4f", *lo, 0.0))
+        w.raw(struct.pack("<4f", *hi, 0.0))
+        w.raw(struct.pack("<4I", inst.shape, k, inst.material, 0))
+
+    # environments (mat4 + vec4 emission + ivec4 with tex id last)
+    w.size(len(scene.environments))
+    for e in scene.environments:
+        w.raw(np.asarray(e.transform, np.float32).T.tobytes())
+        w.raw(struct.pack("<4f", *e.emission, 0.0))
+        w.raw(struct.pack("<4i", 0, 0, 0, e.emission_texture))
+
+    # shapes (shape::ToFile, Scene.cpp:287-296)
+    w.size(len(scene.shapes))
+    for s in scene.shapes:
+        for _ in range(5):        # Positions/Normals/TexCoords/Tangents/Indices
+            w.size(0)
+        T = s.tri_pos.shape[0]
+        w.size(T)
+        tri = np.zeros((T, 40), np.float32)
+        for k in range(3):
+            tri[:, 4 * k + 0 : 4 * k + 3] = s.tri_pos[:, k]
+            tri[:, 4 * k + 3] = s.tri_uv[:, k, 0]
+            tri[:, 12 + 4 * k : 12 + 4 * k + 3] = s.tri_nrm[:, k]
+            tri[:, 12 + 4 * k + 3] = s.tri_uv[:, k, 1]
+            tri[:, 24 + 4 * k : 24 + 4 * k + 4] = s.tri_tan[:, k]
+        tri[:, 36:39] = s.tri_pos.mean(axis=1)             # per-tri centroid
+        w.raw(tri.tobytes())
+        w.raw(struct.pack("<3f", *s.tri_pos.reshape(-1, 3).mean(axis=0))
+              if T else struct.pack("<3f", 0, 0, 0))       # shape centroid
+
+    # env textures then textures (texture::ToFile: u8 vec, float vec, w/h/ch)
+    w.size(len(scene.env_textures))
+    for img in scene.env_textures:
+        a = np.asarray(img, np.float32)
+        if a.ndim == 3 and a.shape[2] == 3:                # store 4-channel
+            a = np.concatenate([a, np.ones_like(a[..., :1])], axis=-1)
+        w.size(0)
+        w.size(a.size)
+        w.raw(a.astype(np.float32).tobytes())
+        w.ints(a.shape[1], a.shape[0], a.shape[2])
+    w.size(len(scene.textures))
+    for img in scene.textures:
+        a = np.asarray(img)
+        if a.dtype != np.uint8:
+            a = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        w.size(a.size)
+        w.raw(a.tobytes())
+        w.size(0)
+        w.ints(a.shape[1], a.shape[0], a.shape[2])
+
+    # name tables
+    w.strvec([f"camera{i}" for i in range(len(scene.cameras))])
+    w.strvec([getattr(i, "name", f"instance{k}") for k, i in enumerate(scene.instances)])
+    w.strvec([getattr(s, "name", f"shape{k}") for k, s in enumerate(scene.shapes)])
+    w.strvec([getattr(m, "name", f"material{k}") for k, m in enumerate(scene.materials)])
+    w.strvec([f"texture{i}" for i in range(len(scene.textures))])
+    w.strvec([f"envtex{i}" for i in range(len(scene.env_textures))])
+    w.strvec([f"environment{i}" for i in range(len(scene.environments))])
+
+    # atlas dims footer (overridden by constants on load, Scene.cpp:641-645)
+    etw = scene.env_textures[0].shape[1] if scene.env_textures else 2048
+    eth = scene.env_textures[0].shape[0] if scene.env_textures else 1024
+    w.ints(512, 512, etw, eth)
+
+    with open(path, "wb") as f:
+        f.write(w.bytes())
+
+
 def load_reference_scene(path: str) -> Scene:
     with open(path, "rb") as f:
         r = _Reader(f.read())

@@ -17,7 +17,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from svgf_tpu.ops.geometry import PI, basis_from_z, dot, normalize, reflect, refract
+from svgf_tpu.ops.geometry import (
+    PI,
+    basis_from_z,
+    dot,
+    normalize,
+    reflect,
+    refract,
+    safe_sqrt,
+)
 from svgf_tpu.ops.sampling import (
     sample_hemisphere_cosine,
     sample_hemisphere_cosine_pdf,
@@ -52,12 +60,17 @@ def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
     (the tracer does when SceneMeta.textures_enabled). `tex_alpha` is the
     colour texture's alpha, folded into opacity (Common.cuh:1458).
     """
+    from svgf_tpu.ops.gather import take_rows_int, take_rows_multi
+
     m = jnp.clip(mat_idx, 0, scene.mat_type.shape[0] - 1)
-    colour = scene.mat_colour[m]
-    emission = scene.mat_emission[m]
-    rough = scene.mat_roughness[m]
-    metal = scene.mat_metallic[m]
-    opacity = scene.mat_opacity[m]
+    # one MXU one-hot for all material fields (ops.gather)
+    (colour, emission, rough, metal, opacity, aniso, scat, tdepth) = (
+        take_rows_multi(
+            (scene.mat_colour, scene.mat_emission, scene.mat_roughness,
+             scene.mat_metallic, scene.mat_opacity, scene.mat_anisotropy,
+             scene.mat_scattering, scene.mat_transmission_depth), m,
+        )
+    )
     if tex_colour is not None:
         colour = colour * tex_colour
     if tex_emission is not None:
@@ -68,10 +81,9 @@ def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
     if tex_alpha is not None:
         opacity = opacity * tex_alpha
     rough = rough * rough
-    mtype = scene.mat_type[m]
+    mtype = take_rows_int(scene.mat_type, m)
     rough = jnp.where(mtype == VOLUMETRIC, 0.0, rough)
     rough = jnp.where(rough < MIN_ROUGHNESS, 0.0, rough)
-    tdepth = scene.mat_transmission_depth[m]
     density = -jnp.log(jnp.clip(colour, 1e-4, 1.0)) / jnp.maximum(tdepth, 1e-9)[..., None]
     has_density = (mtype == VOLUMETRIC) | (mtype == GLASS) | (mtype == SUBSURFACE)
     density = jnp.where(has_density[..., None], density, 0.0)
@@ -82,8 +94,8 @@ def eval_material_point(scene, mat_idx, tex_colour=None, tex_emission=None,
         roughness=rough,
         metallic=metal,
         opacity=opacity,
-        anisotropy=scene.mat_anisotropy[m],
-        scattering=scene.mat_scattering[m],
+        anisotropy=aniso,
+        scattering=scat,
         density=density,
     )
 
@@ -127,11 +139,11 @@ def fresnel_dielectric(eta, normal, outgoing):
     eta2 = eta * eta
     cos2t = 1.0 - sin2 / eta2
     tir = cos2t < 0.0
-    t0 = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    t0 = safe_sqrt(cos2t)  # clamped derivative: TIR lanes otherwise NaN grads
     t1 = eta * t0
     t2 = eta * cosw
-    rs = (cosw - t1) / (cosw + t1 + 1e-20)
-    rp = (t0 - t2) / (t0 + t2 + 1e-20)
+    rs = (cosw - t1) / (cosw + t1 + 1e-18)
+    rp = (t0 - t2) / (t0 + t2 + 1e-18)
     return jnp.where(tir, 1.0, (rs * rs + rp * rp) / 2.0)
 
 
@@ -152,7 +164,7 @@ def microfacet_distribution(roughness, normal, halfway):
     c2 = cosine * cosine
     r2 = roughness * roughness
     d = c2 * r2 + 1.0 - c2
-    return jnp.where(cosine <= 0, 0.0, r2 / (PI * d * d + 1e-20))
+    return jnp.where(cosine <= 0, 0.0, r2 / (PI * d * d + 1e-18))
 
 
 def _shadowing1(roughness, normal, halfway, direction):
@@ -160,7 +172,10 @@ def _shadowing1(roughness, normal, halfway, direction):
     c2 = cosine * cosine
     cosh = dot(halfway, direction)
     r2 = roughness * roughness
-    g = 2.0 / (jnp.sqrt(((r2 * (1.0 - c2)) + c2) / jnp.maximum(c2, 1e-20)) + 1.0)
+    # safe_sqrt: the argument is exactly 0 for r2 == 0, c2 == 0 lanes
+    # (matte lanes share this code path via the masked dispatch) and plain
+    # sqrt's derivative there is inf -> 0*inf NaN at the mask.
+    g = 2.0 / (safe_sqrt(((r2 * (1.0 - c2)) + c2) / jnp.maximum(c2, 1e-18)) + 1.0)
     return jnp.where(cosine * cosh <= 0, 0.0, g)
 
 
@@ -231,7 +246,9 @@ def eval_pbr(colour, roughness, metallic, normal, outgoing, incoming):
     # (Common.cuh:876-880) — reproduced deliberately.
     diffuse = colour * (1.0 - metallic[..., None]) * (1.0 - f1) / PI * cosine[..., None]
     denom = 4.0 * dot(up, outgoing) * dot(up, incoming)
-    specular = f * (d * g / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom))[..., None]
+    # double-where: degenerate (grazing) lanes never divide by the floor
+    bad = jnp.abs(denom) < 1e-18
+    specular = f * (jnp.where(bad, 0.0, d * g) / jnp.where(bad, 1.0, denom))[..., None]
     return jnp.where(ok[..., None], (diffuse + specular) * cosine[..., None], 0.0)
 
 
@@ -256,7 +273,7 @@ def sample_pbr_pdf(colour, roughness, metallic, normal, outgoing, incoming):
     refl = _reflectivity(colour, metallic)
     f = jnp.mean(fresnel_schlick(refl, up, outgoing), axis=-1)
     pdf = f * sample_microfacet_pdf(roughness, up, halfway) / (
-        4.0 * jnp.maximum(jnp.abs(dot(outgoing, halfway)), 1e-20)
+        4.0 * jnp.maximum(jnp.abs(dot(outgoing, halfway)), 1e-18)
     ) + (1.0 - f) * sample_hemisphere_cosine_pdf(up, incoming)
     return jnp.where(ok, pdf, 0.0)
 
@@ -271,7 +288,10 @@ def eval_pbr_delta(colour, metallic, normal, outgoing, incoming):
     f = fresnel_schlick(refl, up, incoming)
     cosine = jnp.abs(dot(up, incoming))
     denom = 4.0 * dot(up, outgoing) * dot(up, incoming)
-    val = f / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)[..., None] * cosine[..., None]
+    bad = jnp.abs(denom) < 1e-18
+    val = jnp.where(bad[..., None], 0.0, f) / jnp.where(bad, 1.0, denom)[
+        ..., None
+    ] * cosine[..., None]
     return jnp.where(ok[..., None], val, 0.0)
 
 
@@ -288,7 +308,7 @@ def sample_pbr_delta_pdf(colour, metallic, normal, outgoing, incoming):
     halfway = normalize(outgoing + incoming)
     refl = _reflectivity(colour, metallic)
     f = jnp.mean(fresnel_schlick(refl, up, outgoing), axis=-1)
-    return jnp.where(ok, f / (4.0 * jnp.maximum(jnp.abs(dot(outgoing, halfway)), 1e-20)), 0.0)
+    return jnp.where(ok, f / (4.0 * jnp.maximum(jnp.abs(dot(outgoing, halfway)), 1e-18)), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -307,8 +327,11 @@ def eval_glass(roughness, normal, outgoing, incoming):
     f_r = fresnel_dielectric(rel_ior, h_r, outgoing)
     d_r = microfacet_distribution(roughness, up, h_r)
     g_r = microfacet_shadowing(roughness, up, h_r, outgoing, incoming)
-    denom_r = jnp.abs(4.0 * dot(normal, outgoing) * dot(normal, incoming)) + 1e-20
-    refl = f_r * d_r * g_r / denom_r * jnp.abs(dot(normal, incoming))
+    denom_r = jnp.abs(4.0 * dot(normal, outgoing) * dot(normal, incoming))
+    bad_r = denom_r < 1e-18
+    refl = jnp.where(bad_r, 0.0, f_r * d_r * g_r) / jnp.where(
+        bad_r, 1.0, denom_r
+    ) * jnp.abs(dot(normal, incoming))
 
     # transmission branch
     h_t = -normalize(rel_ior[..., None] * incoming + outgoing) * jnp.where(
@@ -318,9 +341,15 @@ def eval_glass(roughness, normal, outgoing, incoming):
     d_t = microfacet_distribution(roughness, up, h_t)
     g_t = microfacet_shadowing(roughness, up, h_t, outgoing, incoming)
     num = jnp.abs(dot(outgoing, h_t) * dot(incoming, h_t))
-    den = jnp.abs(dot(outgoing, normal) * dot(incoming, normal)) + 1e-20
-    den2 = (rel_ior * dot(h_t, incoming) + dot(h_t, outgoing)) ** 2 + 1e-20
-    trans = (num / den) * (1.0 - f_t) * d_t * g_t / den2 * jnp.abs(dot(normal, incoming))
+    den = jnp.abs(dot(outgoing, normal) * dot(incoming, normal))
+    den2 = (rel_ior * dot(h_t, incoming) + dot(h_t, outgoing)) ** 2
+    bad_t = (den < 1e-18) | (den2 < 1e-18)
+    trans = (
+        jnp.where(bad_t, 0.0, num) / jnp.where(bad_t, 1.0, den)
+        * (1.0 - f_t) * d_t * g_t
+        / jnp.where(bad_t, 1.0, den2 + 1e-18)
+        * jnp.abs(dot(normal, incoming))
+    )
 
     val = jnp.where(same, refl, trans)
     return jnp.repeat(val[..., None], 3, axis=-1)
@@ -350,17 +379,22 @@ def sample_glass_pdf(roughness, normal, outgoing, incoming):
     h_r = normalize(incoming + outgoing)
     pdf_r = fresnel_dielectric(rel_ior, h_r, outgoing) * sample_microfacet_pdf(
         roughness, up, h_r
-    ) / (4.0 * jnp.maximum(jnp.abs(dot(outgoing, h_r)), 1e-20))
+    ) / (4.0 * jnp.maximum(jnp.abs(dot(outgoing, h_r)), 1e-18))
 
     h_t = -normalize(rel_ior[..., None] * incoming + outgoing) * jnp.where(
         entering, 1.0, -1.0
     )[..., None]
-    den2 = (rel_ior * dot(h_t, incoming) + dot(h_t, outgoing)) ** 2 + 1e-20
+    den2 = (rel_ior * dot(h_t, incoming) + dot(h_t, outgoing)) ** 2
+    bad2 = den2 < 1e-18
     pdf_t = (
-        (1.0 - fresnel_dielectric(rel_ior, h_t, outgoing))
-        * sample_microfacet_pdf(roughness, up, h_t)
-        * jnp.abs(dot(h_t, incoming))
-        / den2
+        jnp.where(
+            bad2,
+            0.0,
+            (1.0 - fresnel_dielectric(rel_ior, h_t, outgoing))
+            * sample_microfacet_pdf(roughness, up, h_t)
+            * jnp.abs(dot(h_t, incoming)),
+        )
+        / jnp.where(bad2, 1.0, den2 + 1e-18)
     )
     return jnp.where(same, pdf_r, pdf_t)
 
@@ -418,79 +452,137 @@ def sample_volumetric_pdf(normal, outgoing, incoming):
 # ---------------------------------------------------------------------------
 
 
-def _sel(mtype, matte, pbr, vol, glass):
-    """Select per material type; SUBSURFACE shares the glass lobes."""
-    out = jnp.where((mtype == MATTE)[..., None], matte, glass)
-    out = jnp.where((mtype == PBR)[..., None], pbr, out)
-    out = jnp.where((mtype == VOLUMETRIC)[..., None], vol, out)
+ALL_TYPES = (MATTE, PBR, VOLUMETRIC, GLASS, SUBSURFACE)
+
+
+def _sel_used(mtype, lobes, used, zero, vec: bool):
+    """Select per material type, evaluating ONLY the lobes whose types occur
+    in the (static) scene — an all-matte scene compiles none of the
+    microfacet/glass machinery, matching the per-thread switch's zero cost
+    for untaken cases (Common.cuh:1197-1267). `lobes` maps type -> thunk;
+    SUBSURFACE shares the GLASS lobes."""
+    used = set(used)
+    if SUBSURFACE in used:
+        used.add(GLASS)
+        used.discard(SUBSURFACE)
+    keys = [t for t in (MATTE, PBR, VOLUMETRIC, GLASS) if t in used]
+    if not keys:
+        keys = [MATTE]
+    out = None
+    for t in keys:
+        val = lobes[t]()
+        if out is None:
+            if len(keys) == 1:
+                return val
+            out = val
+            continue
+        m = mtype == t
+        if t == GLASS:
+            m = m | (mtype == SUBSURFACE)
+        out = jnp.where(m[..., None] if vec else m, val, out)
     return out
 
 
-def _sel1(mtype, matte, pbr, vol, glass):
-    out = jnp.where(mtype == MATTE, matte, glass)
-    out = jnp.where(mtype == PBR, pbr, out)
-    out = jnp.where(mtype == VOLUMETRIC, vol, out)
-    return out
-
-
-def eval_bsdf_cos(mp: MaterialPoint, normal, outgoing, incoming):
-    return _sel(
+def eval_bsdf_cos(mp: MaterialPoint, normal, outgoing, incoming,
+                  types_used=ALL_TYPES):
+    return _sel_used(
         mp.mtype,
-        eval_matte(mp.colour, normal, outgoing, incoming),
-        eval_pbr(mp.colour, mp.roughness, mp.metallic, normal, outgoing, incoming),
-        eval_volumetric(normal, outgoing, incoming),
-        eval_glass(mp.roughness, normal, outgoing, incoming),
+        {
+            MATTE: lambda: eval_matte(mp.colour, normal, outgoing, incoming),
+            PBR: lambda: eval_pbr(mp.colour, mp.roughness, mp.metallic, normal,
+                                  outgoing, incoming),
+            VOLUMETRIC: lambda: eval_volumetric(normal, outgoing, incoming),
+            GLASS: lambda: eval_glass(mp.roughness, normal, outgoing, incoming),
+        },
+        types_used, None, vec=True,
     )
 
 
-def sample_bsdf_cos(mp: MaterialPoint, normal, outgoing, rnl, rn):
-    return _sel(
+def sample_bsdf_cos(mp: MaterialPoint, normal, outgoing, rnl, rn,
+                    types_used=ALL_TYPES):
+    return _sel_used(
         mp.mtype,
-        sample_matte(normal, outgoing, rn),
-        sample_pbr(mp.colour, mp.roughness, mp.metallic, normal, outgoing, rnl, rn),
-        sample_volumetric(outgoing),
-        sample_glass(mp.roughness, normal, outgoing, rnl, rn),
+        {
+            MATTE: lambda: sample_matte(normal, outgoing, rn),
+            PBR: lambda: sample_pbr(mp.colour, mp.roughness, mp.metallic,
+                                    normal, outgoing, rnl, rn),
+            VOLUMETRIC: lambda: sample_volumetric(outgoing),
+            GLASS: lambda: sample_glass(mp.roughness, normal, outgoing, rnl, rn),
+        },
+        types_used, None, vec=True,
     )
 
 
-def sample_bsdf_cos_pdf(mp: MaterialPoint, normal, outgoing, incoming):
-    return _sel1(
+def sample_bsdf_cos_pdf(mp: MaterialPoint, normal, outgoing, incoming,
+                        types_used=ALL_TYPES):
+    return _sel_used(
         mp.mtype,
-        sample_matte_pdf(normal, outgoing, incoming),
-        sample_pbr_pdf(mp.colour, mp.roughness, mp.metallic, normal, outgoing, incoming),
-        sample_volumetric_pdf(normal, outgoing, incoming),
-        sample_glass_pdf(mp.roughness, normal, outgoing, incoming),
+        {
+            MATTE: lambda: sample_matte_pdf(normal, outgoing, incoming),
+            PBR: lambda: sample_pbr_pdf(mp.colour, mp.roughness, mp.metallic,
+                                        normal, outgoing, incoming),
+            VOLUMETRIC: lambda: sample_volumetric_pdf(normal, outgoing, incoming),
+            GLASS: lambda: sample_glass_pdf(mp.roughness, normal, outgoing,
+                                            incoming),
+        },
+        types_used, None, vec=False,
     )
 
 
-def eval_delta(mp: MaterialPoint, normal, outgoing, incoming):
-    val = _sel(
+def _has_delta(types_used) -> bool:
+    """Delta lobes exist only for PBR/GLASS/SUBSURFACE/VOLUMETRIC materials
+    (is_delta, Common.cuh:1189-1195) — matte-only scenes compile them out."""
+    return any(t in types_used for t in (PBR, GLASS, SUBSURFACE, VOLUMETRIC))
+
+
+def eval_delta(mp: MaterialPoint, normal, outgoing, incoming,
+               types_used=ALL_TYPES):
+    if not _has_delta(types_used):
+        return jnp.zeros_like(normal)
+    val = _sel_used(
         mp.mtype,
-        jnp.zeros_like(normal),
-        eval_pbr_delta(mp.colour, mp.metallic, normal, outgoing, incoming),
-        eval_volumetric(normal, outgoing, incoming),
-        eval_glass_delta(normal, outgoing, incoming),
+        {
+            MATTE: lambda: jnp.zeros_like(normal),
+            PBR: lambda: eval_pbr_delta(mp.colour, mp.metallic, normal,
+                                        outgoing, incoming),
+            VOLUMETRIC: lambda: eval_volumetric(normal, outgoing, incoming),
+            GLASS: lambda: eval_glass_delta(normal, outgoing, incoming),
+        },
+        # MATTE must stay in the dispatch so matte lanes select zero
+        tuple(set(types_used) | {MATTE}), None, vec=True,
     )
     return jnp.where((mp.roughness != 0.0)[..., None], 0.0, val)
 
 
-def sample_delta(mp: MaterialPoint, normal, outgoing, rnl):
-    val = _sel(
+def sample_delta(mp: MaterialPoint, normal, outgoing, rnl, types_used=ALL_TYPES):
+    if not _has_delta(types_used):
+        return jnp.zeros_like(normal)
+    val = _sel_used(
         mp.mtype,
-        jnp.zeros_like(normal),
-        sample_pbr_delta(normal, outgoing),
-        sample_volumetric(outgoing),
-        sample_glass_delta(normal, outgoing, rnl),
+        {
+            MATTE: lambda: jnp.zeros_like(normal),
+            PBR: lambda: sample_pbr_delta(normal, outgoing),
+            VOLUMETRIC: lambda: sample_volumetric(outgoing),
+            GLASS: lambda: sample_glass_delta(normal, outgoing, rnl),
+        },
+        tuple(set(types_used) | {MATTE}), None, vec=True,
     )
     return jnp.where((mp.roughness != 0.0)[..., None], 0.0, val)
 
 
-def sample_delta_pdf(mp: MaterialPoint, normal, outgoing, incoming):
-    val = _sel1(
+def sample_delta_pdf(mp: MaterialPoint, normal, outgoing, incoming,
+                     types_used=ALL_TYPES):
+    if not _has_delta(types_used):
+        return jnp.zeros_like(normal[..., 0])
+    val = _sel_used(
         mp.mtype,
-        jnp.zeros_like(normal[..., 0]),
-        sample_pbr_delta_pdf(mp.colour, mp.metallic, normal, outgoing, incoming),
-        sample_volumetric_pdf(normal, outgoing, incoming),
-        sample_glass_delta_pdf(normal, outgoing, incoming),
+        {
+            MATTE: lambda: jnp.zeros_like(normal[..., 0]),
+            PBR: lambda: sample_pbr_delta_pdf(mp.colour, mp.metallic, normal,
+                                              outgoing, incoming),
+            VOLUMETRIC: lambda: sample_volumetric_pdf(normal, outgoing, incoming),
+            GLASS: lambda: sample_glass_delta_pdf(normal, outgoing, incoming),
+        },
+        tuple(set(types_used) | {MATTE}), None, vec=False,
     )
     return jnp.where(mp.roughness != 0.0, 0.0, val)

@@ -9,6 +9,7 @@ All functions operate on batched arrays: rays are (..., 3).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MAX_LENGTH = 1e30
@@ -19,9 +20,53 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def normalize(v, eps=0.0):
+@jax.custom_jvp
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) with a clamped derivative.
+
+    Plain `sqrt(max(x, 0))` has derivative inf at x == 0 — and max()'s
+    backward passes that inf through for every CLAMPED lane (x < 0, e.g.
+    total internal reflection in fresnel_dielectric), so a downstream
+    `where` mask turns it into 0*inf = NaN. Forward is exact; the
+    derivative is 0.5/sqrt(max(x, 1e-12)), and 0 for clamped lanes.
+    """
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_sqrt(x)
+    d = jnp.where(x > 0.0, 0.5 / jnp.sqrt(jnp.maximum(x, 1e-12)), 0.0)
+    return y, d * dx
+
+
+@jax.custom_jvp
+def _unit(v):
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, 1e-30 if eps == 0.0 else eps)
+    return v / jnp.maximum(n, 1e-30)
+
+
+@_unit.defjvp
+def _unit_jvp(primals, tangents):
+    """Jacobian of v/|v| with degenerate lanes (|v| ~ 0) given ZERO tangent
+    instead of the ~1/|v| blowup — a zero input direction is always a
+    masked/broken lane and its huge cotangent otherwise overflows to inf
+    upstream (then 0*inf = NaN at the mask)."""
+    (v,), (dv,) = primals, tangents
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    y = v / jnp.maximum(n, 1e-30)
+    ok = n > 1e-9
+    ns = jnp.where(ok, n, 1.0)
+    dy = jnp.where(ok, (dv - y * jnp.sum(y * dv, axis=-1, keepdims=True)) / ns, 0.0)
+    return y, dy
+
+
+def normalize(v, eps=0.0):
+    if eps != 0.0:
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.maximum(n, eps)
+    return _unit(v)
 
 
 def transform_point(m, p):
@@ -65,7 +110,7 @@ def refract(d, n, eta):
     eta = jnp.asarray(eta)
     cosi = dot(n, d)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
-    refr = eta[..., None] * d - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
+    refr = eta[..., None] * d - (eta * cosi + safe_sqrt(k))[..., None] * n
     return jnp.where((k < 0.0)[..., None], 0.0, refr)
 
 
@@ -135,6 +180,26 @@ def transform_point3(m, p):
 def transform_vector3(m, d):
     """w=0 transform, no normalize (object-space ray dirs)."""
     return tuple(m[i, 0] * d[0] + m[i, 1] * d[1] + m[i, 2] * d[2] for i in range(3))
+
+
+def ray_triangle_comp_raw(ro, rd, v0, v1, v2):
+    """Moller-Trumbore on component tuples, UNMASKED: returns raw (t, u, v)
+    even outside the triangle / behind the origin. Used to re-derive
+    differentiable hit params for a triangle already selected by a kernel
+    (the selection may disagree on borderline lanes by an ulp; the raw value
+    keeps the kernel's verdict authoritative)."""
+    e1 = sub3(v1, v0)
+    e2 = sub3(v2, v0)
+    h = cross3(rd, e2)
+    a = dot3(e1, h)
+    parallel = jnp.abs(a) < 1e-8
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = sub3(ro, v0)
+    u = f * dot3(s, h)
+    q = cross3(s, e1)
+    v = f * dot3(rd, q)
+    t = f * dot3(e2, q)
+    return t, u, v
 
 
 def ray_triangle_comp(ro, rd, v0, v1, v2):

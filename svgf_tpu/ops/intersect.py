@@ -130,6 +130,17 @@ def traverse_shape(scene, shape_id, ro, rd, hit: Hit, instance_id, material_id,
 # math beats pointer-chasing BVH gathers by orders of magnitude.
 DENSE_MAX_TRIS = 16384
 
+# Pallas policy for the dense intersector ("auto"/"on"/"off"/"interpret").
+# Set at trace time by the pipeline from RenderConfig.use_pallas; module
+# state because intersect_scene is called from deep inside trace code that
+# has no config in scope.
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_mode(mode: str) -> None:
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+
 
 def traverse_scene_bvh(scene, ro, rd, hit: Hit, active, any_hit: bool = False) -> Hit:
     """Stitched two-level scene-BVH traversal (reference IntersectTLAS,
@@ -270,6 +281,14 @@ def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
     otherwise.
     """
     if 0 < scene.meta.n_world_tris <= DENSE_MAX_TRIS:
+        from svgf_tpu.kernels import resolve_pallas
+        on, interp = resolve_pallas(_PALLAS_MODE)
+        if on:
+            from svgf_tpu.kernels.intersect_pallas import intersect_dense_pallas
+            return intersect_dense_pallas(
+                scene, ro, rd, active=active, any_hit=any_hit,
+                tmax=tmax, only_instance=only_instance, interpret=interp,
+            )
         return intersect_dense(scene, ro, rd, active=active, any_hit=any_hit,
                                tmax=tmax, only_instance=only_instance)
     R = ro.shape[0]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from svgf_tpu.ops.geometry import MAX_LENGTH, PI, basis_from_z, dot
 
-_EPS = 1e-20
+_EPS = 1e-18
 
 
 def sample_transmittance(density, max_distance, rl, rd):
@@ -55,7 +55,11 @@ def _phase_function(anisotropy, cosine):
     """The reference's (quirked, exponent-2.25) HG lobe shape
     (Common.cuh:1170-1173)."""
     x = 1.0 + anisotropy * anisotropy - 2.0 * anisotropy * cosine
-    denom = jnp.maximum(x, _EPS) ** 1.5
+    # floor 1e-4, not a tiny eps: the effective divisor is x^2.25 and its
+    # backward squares it again — x below ~1e-4 (|g| -> 1 forward scatter)
+    # would underflow fp32 to 0 and NaN the gradient. phase(1e-4) is already
+    # astronomically peaked; the forward clamp is physically irrelevant.
+    denom = jnp.maximum(x, 1e-4) ** 1.5
     return (1.0 - anisotropy * anisotropy) / (
         4.0 * PI * denom * jnp.sqrt(denom)
     )

@@ -3,9 +3,12 @@ MIS heuristics (reference Common.cuh:256-295, 348-459, 1571-1574).
 
 The reference seeds a PCG stream from wall-clock time per pixel
 (PathTrace.cuh:589-592) — non-deterministic across runs. Here every random
-draw is a full-image field generated from a `jax.random` key folded per
-(frame, bounce, use-site), which makes renders bit-reproducible and
-gradients well-defined (SURVEY.md §7.1).
+draw is a *counter-based hash field*: value = hash(seed, use-site, lane id),
+where the lane id is the GLOBAL pixel index. This is the same design as the
+reference's per-pixel PCG (Common.cuh:257-295) but with a fixed seed, so
+renders are bit-reproducible AND every draw is independent of how the frame
+is chunked (pathtrace_chunked) or sharded across chips (parallel.sharded) —
+a band renders exactly the pixels the full frame would.
 """
 
 from __future__ import annotations
@@ -15,25 +18,62 @@ import jax.numpy as jnp
 
 from svgf_tpu.ops.geometry import PI, basis_from_z, dot, normalize
 
+_GOLDEN = jnp.uint32(0x9E3779B9)
+
+
+def _lowbias32(x):
+    """Wellons' lowbias32 integer hash (public domain) — the PCG-quality
+    per-lane mixer; uint32 ops wrap mod 2^32 by definition."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def key_to_seed32(key: jax.Array) -> jax.Array:
+    """Collapse a jax PRNG key to a uint32 stream seed."""
+    data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    return _lowbias32(data[0] ^ _lowbias32(data[-1]))
+
 
 class RngStream:
-    """Hands out independent uniform fields from a base key, one per call.
-
-    Call order is static under jit (python-side counter), so every use site
-    gets a stable, distinct fold — the analogue of the reference's per-site
-    RNG advances, without the time dependence.
+    """Hands out independent uniform fields: one per call site, hashed per
+    global lane id. Call order is static under jit (python-side counter), so
+    every use site gets a stable, distinct stream — the analogue of the
+    reference's per-site RNG advances, without the time dependence and
+    without any dependence on batch/chunk/shard boundaries.
     """
 
-    def __init__(self, key: jax.Array):
-        self.key = key
+    def __init__(self, key: jax.Array, lane_ids: jax.Array | None = None):
+        self.seed = key_to_seed32(key) if jnp.issubdtype(
+            key.dtype, jax.dtypes.prng_key
+        ) else jnp.asarray(key, jnp.uint32)
+        self.lane = None if lane_ids is None else lane_ids.astype(jnp.uint32)
         self._n = 0
 
     def uniform(self, shape) -> jax.Array:
         self._n += 1
-        return jax.random.uniform(jax.random.fold_in(self.key, self._n), shape)
+        site = _lowbias32(jnp.uint32(self._n) * _GOLDEN ^ self.seed)
+        if self.lane is None:
+            lane = jnp.arange(shape[0], dtype=jnp.uint32)
+        else:
+            lane = self.lane
+            assert lane.shape == tuple(shape), (lane.shape, shape)
+        h = _lowbias32(lane * _GOLDEN + jnp.uint32(1) ^ site)
+        # top 24 bits -> mantissa-exact [0, 1)
+        return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
     def uniform2(self, shape) -> jax.Array:
         return jnp.stack([self.uniform(shape), self.uniform(shape)], axis=-1)
+
+
+def hash_uniform(key: jax.Array, lane_ids: jax.Array, site: int = 1) -> jax.Array:
+    """One-off counter-based uniform field at explicit lane ids."""
+    s = RngStream(key, lane_ids)
+    s._n = site - 1
+    return s.uniform(lane_ids.shape)
 
 
 def power_heuristic(pdf0, pdf1):
@@ -44,9 +84,16 @@ def power_heuristic(pdf0, pdf1):
     (PathTrace.cuh:348) and that poisons gradients. 1/(1+(pdf1/pdf0)^2) has
     the correct limits everywhere: ratio overflow -> heuristic 0.
     """
-    r = pdf1 / jnp.maximum(pdf0, 1e-30)
+    # Double-where: pdf0 <= 0 lanes divide by 1, not a tiny floor. A floor
+    # f < ~1.1e-19 is fatal in backward: f^2 underflows to 0 in fp32 (TPU/XLA
+    # flush subnormals) and the division's backward computes x/f^2 = x/0 = NaN.
+    ok = pdf0 > 0.0
+    r = jnp.where(ok, pdf1, 0.0) / jnp.where(ok, jnp.maximum(pdf0, 1e-18), 1.0)
+    # clamp: r^2 = inf would make d(ph)/dr = -2r/(1+r^2)^2 = inf/inf = NaN;
+    # ph(1e9) ~ 1e-18 so the forward value is unchanged for all purposes.
+    r = jnp.minimum(r, 1e9)
     ph = 1.0 / (1.0 + r * r)
-    return jnp.where(pdf0 <= 0.0, 0.0, ph)
+    return jnp.where(ok, ph, 0.0)
 
 
 def sample_uniform_index(size: int, rand):

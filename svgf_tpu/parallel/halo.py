@@ -55,3 +55,47 @@ def with_row_halo(x, halo: int, axis_name: str, boundary: str = "zero"):
 
 def crop_halo(x, halo: int):
     return x[halo:-halo] if halo > 0 else x
+
+
+def exchange_col_halo(x, halo: int, axis_name: str, boundary: str = "zero"):
+    """Column-axis twin of exchange_row_halo: (left_halo, right_halo), each
+    `halo` columns wide. x: (Hs, Ws, ...) local tile."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    if n == 1:
+        left = jnp.zeros_like(x[:, :halo])
+        right = jnp.zeros_like(x[:, :halo])
+        if boundary == "edge":
+            left = jnp.repeat(x[:, :1], halo, axis=1)
+            right = jnp.repeat(x[:, -1:], halo, axis=1)
+        return left, right
+
+    right_send = [(i, i + 1) for i in range(n - 1)]
+    left = jax.lax.ppermute(x[:, -halo:], axis_name, right_send)
+    left_send = [(i, i - 1) for i in range(1, n)]
+    right = jax.lax.ppermute(x[:, :halo], axis_name, left_send)
+
+    if boundary == "edge":
+        left = jnp.where(idx == 0, jnp.repeat(x[:, :1], halo, axis=1), left)
+        right = jnp.where(
+            idx == n - 1, jnp.repeat(x[:, -1:], halo, axis=1), right
+        )
+    return left, right
+
+
+def with_col_halo(x, halo: int, axis_name: str, boundary: str = "zero"):
+    """Tile extended with exchanged column halos: (Hs, Ws + 2*halo, ...)."""
+    left, right = exchange_col_halo(x, halo, axis_name, boundary)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def with_tile_halo(x, halo: int, axis_y: str, axis_x: str, boundary: str = "zero"):
+    """2-D halo: rows first, then columns ON THE ROW-EXTENDED tile — the
+    second exchange forwards the first's halo rows, so corner blocks arrive
+    without explicit diagonal sends (the standard two-pass trick)."""
+    return with_col_halo(with_row_halo(x, halo, axis_y, boundary), halo,
+                         axis_x, boundary)
+
+
+def crop_tile_halo(x, halo: int):
+    return x[halo:-halo, halo:-halo] if halo > 0 else x

@@ -158,14 +158,36 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
     cam = config.tracing.current_camera
     sdtype = jnp.dtype(config.state_dtype)
 
+    from svgf_tpu.ops import intersect as _isect
+    _isect.set_pallas_mode(config.use_pallas)
+
     gbuf = raster_gbuffer(scene, cam, hs, w, row0=row0, h_total=h_total)
+    # band-exact depth derivative: the forward difference at the band's last
+    # row needs the NEXT band's first row ("edge" at the true image bottom
+    # reproduces the unsharded clamp) — keeps sharded == unsharded bitwise
+    from svgf_tpu.parallel.halo import with_row_halo as _wrh
+
+    _z = gbuf.depth
+    _ze = _wrh(_z, 1, axis, "edge")[1:]
+    _dzy = jnp.abs(_ze[1:] - _ze[:-1])
+    _dzx = jnp.abs(jnp.diff(_z, axis=1, append=_z[:, -1:]))
+    gbuf = gbuf._replace(
+        depth_deriv=jnp.where(_z > 0.0, jnp.maximum(_dzx, _dzy), 0.0)
+    )
+
+    # Counter-based RNG keyed by GLOBAL pixel id: every shard draws exactly
+    # the values the unsharded frame would, so sharded == unsharded holds
+    # bitwise for the trace stage too (ops.sampling.RngStream).
+    from svgf_tpu.ops.sampling import RngStream
 
     key = jax.random.fold_in(jax.random.key(config.seed), frame_idx)
-    key = jax.random.fold_in(key, idx)
+    lane0 = row0 * w
+    lane_ids = jnp.uint32(lane0) + jnp.arange(hs * w, dtype=jnp.uint32)
     radiance = jnp.zeros((hs * w, 3), jnp.float32)
     for s in range(config.tracing.batch):
         skey = jax.random.fold_in(key, s)
-        jitter = jax.random.uniform(jax.random.fold_in(skey, 987), (hs, w, 2)) * 2 - 1
+        jstream = RngStream(jax.random.fold_in(skey, 987), lane_ids)
+        jitter = jstream.uniform2((hs * w,)).reshape(hs, w, 2) * 2 - 1
         ro, rd = camera_rays(scene.cam_frame[cam], scene.cam_proj[cam], hs, w,
                              jitter=jitter, row0=row0, h_total=h_total)
         first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
@@ -173,7 +195,7 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
             scene, ro, rd, skey,
             bounces=config.tracing.bounces, clamp=config.tracing.clamp,
             mode=config.tracing.sampling_mode, first_hit=first_hit,
-            num_chunks=config.trace_chunks,
+            num_chunks=config.trace_chunks, lane0=lane0,
         )
         radiance = radiance + sample / config.tracing.batch
     radiance = radiance.reshape(hs, w, 3)

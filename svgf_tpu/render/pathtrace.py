@@ -59,7 +59,13 @@ from svgf_tpu.ops.geometry import (
 )
 from svgf_tpu.ops.intersect import Hit, intersect_scene
 from svgf_tpu.ops import media as M
-from svgf_tpu.ops.lights import _interp, eval_environment, sample_lights, sample_lights_pdf
+from svgf_tpu.ops.lights import (
+    _interp,
+    eval_environment,
+    sample_lights,
+    sample_lights_pdf,
+    sample_lights_pdf_from_hit,
+)
 from svgf_tpu.ops.sampling import RngStream, power_heuristic
 
 
@@ -80,17 +86,22 @@ def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
     through the tangent frame (Common.cuh:1405-1418, PathTrace.cuh:182-185).
     With textures disabled this compiles to exactly the reference's vec4(1)
     stub behavior (Common.cuh:1391)."""
+    from svgf_tpu.ops.gather import take_rows_multi
+
     prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
     inst = jnp.clip(hit.instance, 0, scene.inst_shape.shape[0] - 1)
     mat = jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1)
-    pos = transform_point(
-        scene.inst_transform[inst], _interp(scene.tri_pos, prim, hit.u, hit.v)
+    # ONE MXU one-hot per index set for all attribute tables (gather-bound
+    # otherwise, ops.gather module docstring)
+    tp, tn = take_rows_multi((scene.tri_pos, scene.tri_nrm), prim)
+    m_t, m_n = take_rows_multi(
+        (scene.inst_transform, scene.inst_normal_transform), inst
     )
-    n = normalize(
-        transform_vector(
-            scene.inst_normal_transform[inst], _interp(scene.tri_nrm, prim, hit.u, hit.v)
-        )
-    )
+    w0 = (1.0 - hit.u - hit.v)[..., None]
+    p_obj = tp[:, 1] * hit.u[..., None] + tp[:, 2] * hit.v[..., None] + tp[:, 0] * w0
+    n_obj = tn[:, 1] * hit.u[..., None] + tn[:, 2] * hit.v[..., None] + tn[:, 0] * w0
+    pos = transform_point(m_t, p_obj)
+    n = normalize(transform_vector(m_n, n_obj))
     if scene.meta.textures_enabled:
         uv = _interp(scene.tri_uv, prim, hit.u, hit.v)
         tex_col = T.eval_texture(scene.textures, scene.mat_colour_tex[mat], uv,
@@ -108,7 +119,7 @@ def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
             tan = _interp(scene.tri_tan, prim, hit.u, hit.v)
             n = T.apply_normal_map(
                 scene.textures, scene.mat_normal_tex[mat], uv, n, tan,
-                scene.inst_normal_transform[inst], transform_direction, normalize,
+                m_n, transform_direction, normalize,
             )
     else:
         mp = B.eval_material_point(scene, mat)
@@ -161,7 +172,7 @@ def _sample_medium(state: PathState, hit: Hit, rng: RngStream):
     # geometry and NaNs.
     dist = jax.lax.stop_gradient(dist)
     w = M.eval_transmittance(state.vol_density, dist) / jnp.maximum(
-        M.sample_transmittance_pdf(state.vol_density, dist, hit.dist), 1e-20
+        M.sample_transmittance_pdf(state.vol_density, dist, hit.dist), 1e-18
     )[..., None]
     weight = jnp.where(in_vol[..., None], state.weight * w, state.weight)
     stay = in_vol & (dist < hit.dist)
@@ -192,7 +203,7 @@ def _volume_scatter(scene, state: PathState, dist, rng: RngStream):
     w = M.eval_phase(
         state.vol_scattering, state.vol_density, state.vol_anisotropy,
         outgoing, incoming,
-    ) / jnp.maximum(0.5 * ppdf + 0.5 * lpdf, 1e-20)[..., None]
+    ) / jnp.maximum(0.5 * ppdf + 0.5 * lpdf, 1e-18)[..., None]
     return pos, incoming, w, broke
 
 
@@ -205,9 +216,21 @@ def pathtrace(
     clamp: float = 10.0,
     mode: SamplingMode = SamplingMode.MIS,
     first_hit: Hit | None = None,
+    lane0=0,
+    lane_ids=None,
 ):
-    """Trace one sample per lane. Returns (radiance (R,3), first_normal (R,3))."""
+    """Trace one sample per lane. Returns (radiance (R,3), first_normal (R,3)).
+
+    lane0 / lane_ids: global lane ids (chunked / band / 2-D-tile rendering) —
+    random draws hash (seed, site, lane id), so any partition of the frame
+    reproduces exactly the pixels the whole frame would (ops.sampling
+    .RngStream). lane_ids (explicit array) wins over lane0 (contiguous).
+    """
     R = ro.shape[0]
+    if lane_ids is None:
+        lane_ids = jnp.uint32(lane0) + jnp.arange(R, dtype=jnp.uint32)
+    else:
+        lane_ids = lane_ids.astype(jnp.uint32)
     state = PathState(
         radiance=jnp.zeros((R, 3), jnp.float32),
         weight=jnp.ones((R, 3), jnp.float32),
@@ -224,7 +247,7 @@ def pathtrace(
 
     hit = first_hit if first_hit is not None else intersect_scene(scene, ro, rd)
     for b in range(bounces):
-        rng = RngStream(jax.random.fold_in(key, b))
+        rng = RngStream(jax.random.fold_in(key, b), lane_ids)
         if mode == SamplingMode.MIS:
             state, next_hit, has_next = _bounce_mis(scene, state, hit, rng, b)
         else:
@@ -270,7 +293,7 @@ def pathtrace(
     )
     m = jnp.max(radiance, axis=-1)
     # denominator floored at `clamp` (the branch is only taken for m > clamp)
-    # so the untaken branch's backward stays finite — 1e-20 floors overflow
+    # so the untaken branch's backward stays finite — 1e-18 floors overflow
     scale = jnp.where(m > clamp, clamp / jnp.maximum(m, clamp), 1.0)
     return radiance * scale[..., None], first_normal
 
@@ -285,16 +308,25 @@ def pathtrace_chunked(
     mode: SamplingMode = SamplingMode.MIS,
     first_hit: Hit | None = None,
     num_chunks: int = 1,
+    lane0=0,
+    lane_ids=None,
 ):
     """Run the wavefront in `num_chunks` sequential chunks via lax.map.
 
     Peak HBM of the shading stage scales with the live lane count; at 1080p
     a single 2M-lane wavefront exceeds one chip's HBM, so the frame is
     processed as a pipeline of smaller wavefronts (the body compiles once).
+    Chunk lanes carry their global lane ids, so the chunked result is
+    BIT-IDENTICAL to the unchunked one (counter-based RNG).
     """
-    if num_chunks <= 1:
-        return pathtrace(scene, ro, rd, key, bounces, clamp, mode, first_hit)
     R = ro.shape[0]
+    if lane_ids is None:
+        lane_ids = jnp.uint32(lane0) + jnp.arange(R, dtype=jnp.uint32)
+    else:
+        lane_ids = lane_ids.astype(jnp.uint32)
+    if num_chunks <= 1:
+        return pathtrace(scene, ro, rd, key, bounces, clamp, mode, first_hit,
+                         lane_ids=lane_ids)
     rc = -(-R // num_chunks)
     pad = rc * num_chunks - R
 
@@ -305,6 +337,7 @@ def pathtrace_chunked(
 
     ro_r = pad_r(ro).reshape(num_chunks, rc, 3)
     rd_r = pad_r(rd).reshape(num_chunks, rc, 3)
+    ids_r = pad_r(lane_ids).reshape(num_chunks, rc)
     fh_r = (
         jax.tree.map(lambda x: pad_r(x).reshape(num_chunks, rc), first_hit)
         if first_hit is not None
@@ -312,15 +345,14 @@ def pathtrace_chunked(
     )
 
     def body(args):
-        i, ro_c, rd_c, fh_c = args
+        ids_c, ro_c, rd_c, fh_c = args
         rad, n = pathtrace(
-            scene, ro_c, rd_c, jax.random.fold_in(key, 7919 + i),
-            bounces, clamp, mode, fh_c,
+            scene, ro_c, rd_c, key,
+            bounces, clamp, mode, fh_c, lane_ids=ids_c,
         )
         return rad, n
 
-    idx = jnp.arange(num_chunks, dtype=jnp.int32)
-    rad, n = jax.lax.map(body, (idx, ro_r, rd_r, fh_r))
+    rad, n = jax.lax.map(body, (ids_r, ro_r, rd_r, fh_r))
     return rad.reshape(-1, 3)[:R], n.reshape(-1, 3)[:R]
 
 
@@ -368,20 +400,25 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     weight = state.weight
 
     # ---------------- NEE branch (PathTrace.cuh:238-260) ----------------
+    # The shadow trace runs FIRST and its hit is reused for the light pdf
+    # (sample_lights_pdf_from_hit) instead of fresh per-light re-traces —
+    # the reference's own flagged hot spot (Common.cuh:635 "not efficient").
     dir_l = sample_lights(
         scene, position, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
     )
     l_zero = jnp.all(dir_l == 0.0, axis=-1)
     shifted_l = _offset_origin(position, normal, dir_l)
-    bsdf_l = B.eval_bsdf_cos(mp, normal, outgoing, dir_l)
-    lpdf_l = sample_lights_pdf(scene, shifted_l, dir_l)
-    bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l)
-    misw_l = power_heuristic(lpdf_l, bpdf_l) / jnp.maximum(lpdf_l, 1e-20)
-    nee_ok = (
-        shade & ~delta & ~l_zero & (lpdf_l > 0)
-        & jnp.any(bsdf_l != 0.0, axis=-1) & (misw_l != 0)
+    bsdf_l = B.eval_bsdf_cos(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
+    pre_l = shade & ~delta & ~l_zero & jnp.any(bsdf_l != 0.0, axis=-1)
+    shadow = intersect_scene(scene, shifted_l, dir_l, active=pre_l)
+    lpdf_l = sample_lights_pdf_from_hit(scene, shifted_l, dir_l, shadow)
+    bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
+    # Double-where: guard the division's backward for lpdf_l == 0 lanes.
+    safe_l = lpdf_l > 0
+    misw_l = jnp.where(safe_l, power_heuristic(lpdf_l, bpdf_l), 0.0) / jnp.where(
+        safe_l, jnp.maximum(lpdf_l, 1e-18), 1.0
     )
-    shadow = intersect_scene(scene, shifted_l, dir_l, active=nee_ok)
+    nee_ok = pre_l & safe_l & (misw_l != 0)
     shadow_miss = shadow.dist >= MAX_LENGTH
     if scene.meta.n_envs > 0:
         emis_miss = eval_environment(scene, dir_l)
@@ -394,18 +431,23 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     )
 
     # ---------------- BSDF-sample branch (PathTrace.cuh:261-284) --------
-    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)))
+    # Same reuse: the MIS intersection supplies the light pdf of dir_b.
+    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)), scene.meta.mat_types_used)
     b_zero = jnp.all(dir_b == 0.0, axis=-1)
     shifted_b = _offset_origin(position, normal, dir_b)
-    bsdf_b = B.eval_bsdf_cos(mp, normal, outgoing, dir_b)
-    lpdf_b = sample_lights_pdf(scene, shifted_b, dir_b)
-    bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b)
-    misw_b = power_heuristic(bpdf_b, lpdf_b) / jnp.maximum(bpdf_b, 1e-20)
-    mis_cond = (
+    bsdf_b = B.eval_bsdf_cos(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
+    bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
+    pre_b = (
         shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
-        & jnp.any(bsdf_b != 0.0, axis=-1) & (misw_b != 0)
+        & jnp.any(bsdf_b != 0.0, axis=-1)
     )
-    mis_hit = intersect_scene(scene, shifted_b, dir_b, active=mis_cond)
+    mis_hit = intersect_scene(scene, shifted_b, dir_b, active=pre_b)
+    lpdf_b = sample_lights_pdf_from_hit(scene, shifted_b, dir_b, mis_hit)
+    safe_b = bpdf_b > 0
+    misw_b = jnp.where(safe_b, power_heuristic(bpdf_b, lpdf_b), 0.0) / jnp.where(
+        safe_b, jnp.maximum(bpdf_b, 1e-18), 1.0
+    )
+    mis_cond = pre_b & (misw_b != 0)
     mis_miss = mis_hit.dist >= MAX_LENGTH
     if scene.meta.n_envs > 0:
         emis_b = jnp.where(
@@ -421,13 +463,15 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     radiance = radiance + jnp.where(
         mis_cond[..., None], weight * bsdf_b * emis_b * misw_b[..., None], 0.0
     )
-    w_bsdf = weight * bsdf_b / jnp.maximum(bpdf_b, 1e-20)[..., None]
+    w_bsdf = weight * jnp.where(safe_b[..., None], bsdf_b, 0.0) / jnp.where(
+        safe_b, jnp.maximum(bpdf_b, 1e-18), 1.0
+    )[..., None]
 
     # ---------------- delta branch (PathTrace.cuh:286-292) --------------
-    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)))
-    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d)
-    w_delta = weight * B.eval_delta(mp, normal, outgoing, dir_d) / jnp.maximum(
-        pdf_d, 1e-20
+    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)), scene.meta.mat_types_used)
+    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d, scene.meta.mat_types_used)
+    w_delta = weight * B.eval_delta(mp, normal, outgoing, dir_d, scene.meta.mat_types_used) / jnp.maximum(
+        pdf_d, 1e-18
     )[..., None]
     d_zero = jnp.all(dir_d == 0.0, axis=-1)
 
@@ -528,16 +572,16 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
     )
     l_zero = jnp.all(dir_l == 0.0, axis=-1)
     lpdf = sample_lights_pdf(scene, position, dir_l)
-    w_light = B.eval_bsdf_cos(mp, normal, outgoing, dir_l) / jnp.maximum(lpdf, 1e-20)[
+    w_light = B.eval_bsdf_cos(mp, normal, outgoing, dir_l, scene.meta.mat_types_used) / jnp.maximum(lpdf, 1e-18)[
         ..., None
     ]
     light_bad = l_zero | (lpdf <= 0)
 
     # bsdf-sampling estimator
-    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)))
+    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)), scene.meta.mat_types_used)
     b_zero = jnp.all(dir_b == 0.0, axis=-1)
-    bpdf = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b)
-    w_bsdf = B.eval_bsdf_cos(mp, normal, outgoing, dir_b) / jnp.maximum(bpdf, 1e-20)[
+    bpdf = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
+    w_bsdf = B.eval_bsdf_cos(mp, normal, outgoing, dir_b, scene.meta.mat_types_used) / jnp.maximum(bpdf, 1e-18)[
         ..., None
     ]
 
@@ -553,9 +597,9 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
     broke_nd = jnp.where(use_light, light_bad, b_zero)
 
     # delta branch
-    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)))
-    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d)
-    w_delta = B.eval_delta(mp, normal, outgoing, dir_d) / jnp.maximum(pdf_d, 1e-20)[
+    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)), scene.meta.mat_types_used)
+    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d, scene.meta.mat_types_used)
+    w_delta = B.eval_delta(mp, normal, outgoing, dir_d, scene.meta.mat_types_used) / jnp.maximum(pdf_d, 1e-18)[
         ..., None
     ]
     d_zero = jnp.all(dir_d == 0.0, axis=-1)

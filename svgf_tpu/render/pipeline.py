@@ -148,9 +148,13 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     cam = config.tracing.current_camera
     sdtype = jnp.dtype(config.state_dtype)
 
+    # propagate the Pallas policy to the intersector (trace-time static)
+    from svgf_tpu.ops import intersect as _isect
+    _isect.set_pallas_mode(config.use_pallas)
+
     # ---- 1. Rasterize (primary visibility) ----
     with jax.named_scope("gbuffer"):
-        gbuf = raster_gbuffer(scene, cam, h, w)
+        gbuf = raster_gbuffer(scene, cam, h, w, num_chunks=config.trace_chunks)
 
     # ---- 2. Trace (1spp x batch path tracing) ----
     key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
@@ -158,9 +162,12 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     with jax.named_scope("trace"):
         for s in range(config.tracing.batch):
             skey = jax.random.fold_in(key, s)
-            jitter = (
-                jax.random.uniform(jax.random.fold_in(skey, 987), (h, w, 2)) * 2.0 - 1.0
+            from svgf_tpu.ops.sampling import RngStream
+            jstream = RngStream(
+                jax.random.fold_in(skey, 987),
+                jnp.arange(h * w, dtype=jnp.uint32),
             )
+            jitter = jstream.uniform2((h * w,)).reshape(h, w, 2) * 2.0 - 1.0
             ro, rd = camera_rays(
                 scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
             )
@@ -197,14 +204,32 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
 
     image = _select_tap(config.debug_output, radiance, tres, moments_out, atrous_out,
                         final, gbuf)
+
+    # structured per-frame metrics (SURVEY §5 observability)
+    from svgf_tpu.render.types import FrameMetrics
+
+    nb = config.tracing.bounces
+    n_intersects = (
+        1 + (0 if config.hybrid_primary else 1) + nb * 2 + max(nb - 1, 0)
+    )
+    metrics = FrameMetrics(
+        disoccluded_pct=100.0 * (1.0 - jnp.mean(tres.reprojected.astype(jnp.float32))),
+        mean_history=jnp.mean(tres.history_len.astype(jnp.float32)),
+        mean_variance=jnp.mean(tres.color[..., 3]),
+        coverage_pct=100.0 * jnp.mean((gbuf.instance >= 0).astype(jnp.float32)),
+        rays_traced=jnp.int32(n_intersects * h * w * config.tracing.batch),
+    )
+
+    taps = config.keep_taps or config.debug_output != DebugOutput.FINAL
     outputs = FrameOutputs(
         image=image,
-        radiance=radiance,
-        temporal=tres.color,
-        moments_filtered=moments_out,
-        atrous=atrous_out,
+        radiance=radiance if taps else None,
+        temporal=tres.color if taps else None,
+        moments_filtered=moments_out if taps else None,
+        atrous=atrous_out if taps else None,
         final=final[..., :3],
-        gbuffer=gbuf,
+        gbuffer=gbuf if taps else None,
+        metrics=metrics,
     )
     return outputs, new_state
 

@@ -111,22 +111,24 @@ def temporal_filter(
     normal_threshold: float,
     history_base_length: int,
     row0=0,
+    col0=0,
 ) -> TemporalResult:
-    """`row0`: global row of this band's first row (sharded path); the prev_*
-    arrays and prev_gbuf always cover the FULL image (reprojection may gather
-    anywhere, so previous-frame state is all-gathered across shards)."""
+    """`row0`/`col0`: global position of this band/tile's first pixel
+    (sharded path); the prev_* arrays and prev_gbuf always cover the FULL
+    image (reprojection may gather anywhere, so previous-frame state is
+    all-gathered across shards)."""
     h, w = current.shape[:2]
-    h_prev = prev_color.shape[0]
+    h_prev, w_prev = prev_color.shape[:2]
     cur = load01(current[..., :3])
 
     # --- reprojection (LoadPreviousData) ---
     motion = gbuf.motion.astype(jnp.float32)
     r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
-    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0
     # ivec2 cast truncates toward zero (Filter.cuh:232); motion is (x, y)
     px = c + motion[..., 0].astype(jnp.int32)
     py = r + motion[..., 1].astype(jnp.int32)
-    on_screen = (px >= 0) & (px < w) & (py >= 0) & (py < h_prev)
+    on_screen = (px >= 0) & (px < w_prev) & (py >= 0) & (py < h_prev)
 
     # ONE packed gather for all previous-frame state (6 separate whole-image
     # gathers are ~5x slower on TPU). int channels ride as f32 exactly

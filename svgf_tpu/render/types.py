@@ -76,6 +76,18 @@ class TemporalState(NamedTuple):
         )
 
 
+class FrameMetrics(NamedTuple):
+    """Structured per-frame observability (SURVEY §5 metrics/logging: the
+    reference only has a frame-time print, App.cu:730; these are the
+    quantities its GUI debug taps let a human eyeball)."""
+
+    disoccluded_pct: jax.Array   # () f32 — % pixels failing reprojection
+    mean_history: jax.Array      # () f32 — mean temporal history length
+    mean_variance: jax.Array     # () f32 — mean per-pixel variance estimate
+    coverage_pct: jax.Array      # () f32 — % pixels with a primary hit
+    rays_traced: jax.Array       # () i32 — scene-intersection count x lanes
+
+
 class FrameOutputs(NamedTuple):
     """Everything a frame produces — the debug-tap surface (App.h:92-105)."""
 
@@ -86,3 +98,4 @@ class FrameOutputs(NamedTuple):
     atrous: jax.Array       # after the wavelet chain (H, W, 4)
     final: jax.Array        # after TAA + sRGB (H, W, 3)
     gbuffer: GBuffer
+    metrics: FrameMetrics | None = None

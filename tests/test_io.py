@@ -130,3 +130,28 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(s2.color), 0.25)
     assert int(s2.frame_idx) == 7
     assert int(s2.history_len[0, 0]) == 3
+
+
+def test_binscene_write_read_roundtrip(tmp_path):
+    """Reference-binary writer (scene::ToFile, Scene.cpp:515-549) round-trips
+    through our reader: same geometry, materials, instances, camera."""
+    from svgf_tpu.io.binscene import load_reference_scene, save_reference_scene
+
+    s = cornell_box()
+    path = str(tmp_path / "scene.bin")
+    save_reference_scene(s, path)
+    s2 = load_reference_scene(path)
+    assert len(s2.shapes) == len(s.shapes)
+    assert len(s2.instances) == len(s.instances)
+    assert len(s2.materials) == len(s.materials)
+    a1 = s.flatten()
+    a2 = s2.flatten()
+    np.testing.assert_allclose(np.asarray(a1.tri_pos), np.asarray(a2.tri_pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1.mat_colour), np.asarray(a2.mat_colour))
+    np.testing.assert_allclose(np.asarray(a1.mat_emission), np.asarray(a2.mat_emission))
+    np.testing.assert_allclose(np.asarray(a1.inst_transform),
+                               np.asarray(a2.inst_transform), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1.cam_frame), np.asarray(a2.cam_frame),
+                               atol=1e-6)
+    assert a1.meta.n_lights == a2.meta.n_lights

