@@ -205,26 +205,47 @@ def filter_moments(
     n = gbuf.normal.astype(jnp.float32)
     phi_depth = jnp.maximum(zd, 1e-8) * 3.0
 
-    sum_w = jnp.zeros((h, w), jnp.float32)
-    sum_illum = jnp.zeros((h, w, 3), jnp.float32)
-    sum_mom = jnp.zeros((h, w, 2), jnp.float32)
+    # Tap loop as lax.scan over a static tap table: identical sequential
+    # accumulation order (bit-exact vs the unrolled form) but a ~49x smaller
+    # traced graph — XLA:CPU compile of the BACKWARD pass through the
+    # gbuffer-dependent edge weights is superlinear in op count and was the
+    # dominant cost of the multi-chip dryrun (MULTICHIP_r03 rc=124).
     radius = 3
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            inside = _inside(h, w, dy, dx)
-            illum_p = _shift(illum[..., :3], dy, dx)
-            mom_p = _shift(mom, dy, dx)
-            l_p = luminance(illum_p)
-            z_p = _shift(z, dy, dx)
-            n_p = _shift(n, dy, dx)
-            dist = float((dx * dx + dy * dy) ** 0.5)
-            wgt = compute_weight(
-                z, z_p, phi_depth * dist, n, n_p, phi_normal, l_center, l_p, phi_colour
-            )
-            wgt = jnp.where(inside, wgt, 0.0)
-            sum_w = sum_w + wgt
-            sum_illum = sum_illum + illum_p * wgt[..., None]
-            sum_mom = sum_mom + mom_p * wgt[..., None]
+    taps = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    tap_dy = jnp.array([t[0] for t in taps], jnp.int32)
+    tap_dx = jnp.array([t[1] for t in taps], jnp.int32)
+    tap_dist = jnp.array(
+        [float((dx * dx + dy * dy) ** 0.5) for dy, dx in taps], jnp.float32
+    )
+
+    def body(carry, tap):
+        sum_w, sum_illum, sum_mom = carry
+        dy, dx, dist = tap
+        inside = _inside(h, w, dy, dx)
+        illum_p = _shift(illum[..., :3], dy, dx)
+        mom_p = _shift(mom, dy, dx)
+        l_p = luminance(illum_p)
+        z_p = _shift(z, dy, dx)
+        n_p = _shift(n, dy, dx)
+        wgt = compute_weight(
+            z, z_p, phi_depth * dist, n, n_p, phi_normal, l_center, l_p, phi_colour
+        )
+        wgt = jnp.where(inside, wgt, 0.0)
+        return (
+            sum_w + wgt,
+            sum_illum + illum_p * wgt[..., None],
+            sum_mom + mom_p * wgt[..., None],
+        ), None
+
+    init = (
+        jnp.zeros((h, w), jnp.float32),
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w, 2), jnp.float32),
+    )
+    (sum_w, sum_illum, sum_mom), _ = jax.lax.scan(
+        body, init, (tap_dy, tap_dx, tap_dist)
+    )
 
     sum_w = jnp.maximum(sum_w, 1e-6)
     f_illum = sum_illum / sum_w[..., None]
@@ -268,30 +289,42 @@ def atrous_iteration(
     phi_l = phi_colour * jnp.sqrt(jnp.maximum(0.0, eps_var + variance))
     phi_depth = jnp.maximum(zd, 1e-6) * step
 
-    # center pre-accumulated with weight 1 (:565-568)
-    sum_w = jnp.ones((h, w), jnp.float32)
-    sum_c = center
+    # Tap loop as lax.scan over the static 24-tap table (same sequential
+    # accumulation order as the unrolled loop -> bit-exact; see the note in
+    # filter_moments about XLA:CPU backward compile cost).
+    taps = [(dy, dx) for dy in (-2, -1, 0, 1, 2) for dx in (-2, -1, 0, 1, 2)
+            if not (dx == 0 and dy == 0)]
+    tap_oy = jnp.array([dy * step for dy, _ in taps], jnp.int32)
+    tap_ox = jnp.array([dx * step for _, dx in taps], jnp.int32)
+    tap_kernel = jnp.array(
+        [_KERNEL_1D[abs(dx)] * _KERNEL_1D[abs(dy)] for dy, dx in taps], jnp.float32
+    )
+    tap_dist = jnp.array(
+        [float((dx * dx + dy * dy) ** 0.5) for dy, dx in taps], jnp.float32
+    )
 
-    for dy in (-2, -1, 0, 1, 2):
-        for dx in (-2, -1, 0, 1, 2):
-            if dx == 0 and dy == 0:
-                continue
-            oy, ox = dy * step, dx * step
-            inside = _inside(h, w, oy, ox)
-            pix = load01(_shift(img, oy, ox))
-            l_p = luminance(pix[..., :3])
-            z_p = _shift(z, oy, ox)
-            n_p = _shift(n, oy, ox)
-            kernel = _KERNEL_1D[abs(dx)] * _KERNEL_1D[abs(dy)]
-            dist = float((dx * dx + dy * dy) ** 0.5)
-            wgt = compute_weight(
-                z, z_p, phi_depth * dist, n, n_p, phi_normal, l_center, l_p, phi_l
-            )
-            wgt = jnp.where(inside, wgt * kernel, 0.0)
-            # variance channel uses squared weights (:606-608)
-            w4 = jnp.stack([wgt, wgt, wgt, wgt * wgt], axis=-1)
-            sum_w = sum_w + wgt
-            sum_c = sum_c + w4 * pix
+    def body(carry, tap):
+        sum_w, sum_c = carry
+        oy, ox, kernel, dist = tap
+        inside = _inside(h, w, oy, ox)
+        pix = load01(_shift(img, oy, ox))
+        l_p = luminance(pix[..., :3])
+        z_p = _shift(z, oy, ox)
+        n_p = _shift(n, oy, ox)
+        wgt = compute_weight(
+            z, z_p, phi_depth * dist, n, n_p, phi_normal, l_center, l_p, phi_l
+        )
+        wgt = jnp.where(inside, wgt * kernel, 0.0)
+        # variance channel uses squared weights (:606-608)
+        w4 = jnp.stack([wgt, wgt, wgt, wgt * wgt], axis=-1)
+        return (sum_w + wgt, sum_c + w4 * pix), None
+
+    # center pre-accumulated with weight 1 (:565-568)
+    (sum_w, sum_c), _ = jax.lax.scan(
+        body,
+        (jnp.ones((h, w), jnp.float32), center),
+        (tap_oy, tap_ox, tap_kernel, tap_dist),
+    )
 
     norm = jnp.stack([sum_w, sum_w, sum_w, sum_w * sum_w], axis=-1)
     filtered = sum_c / norm
