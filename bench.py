@@ -25,6 +25,7 @@ Prints exactly ONE JSON line on stdout; progress goes to stderr.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -41,16 +42,29 @@ def _fetch(x):
     return float(jnp.ravel(x)[0])
 
 
-def timed(fn, x, iters_inside, reps=3, fetch_overhead=0.0):
-    best = 1e9
+def timed(fn, x, iters_inside, reps=10, fetch_overhead=0.0):
+    """min of `reps` timings (median via timed_dist). r3's temporal+moments
+    number swung 2.6 -> 5.0 ms with no code change at reps=3; >=10 reps with
+    the min statistic is required to separate drift from regression."""
+    return timed_dist(fn, x, iters_inside, reps, fetch_overhead)[0]
+
+
+def timed_dist(fn, x, iters_inside, reps=10, fetch_overhead=0.0):
+    samples = []
     o = fn(x)
     _fetch(o)  # warm/compile
     for _ in range(reps):
         t0 = time.perf_counter()
         o = fn(x)
         _fetch(o)
-        best = min(best, time.perf_counter() - t0)
-    return max(best - fetch_overhead, 1e-9) / iters_inside
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    med = samples[len(samples) // 2]
+    best = samples[0]
+    return (
+        max(best - fetch_overhead, 1e-9) / iters_inside,
+        max(med - fetch_overhead, 1e-9) / iters_inside,
+    )
 
 
 def make_bench_inputs(h, w):
@@ -139,14 +153,19 @@ def main():
 
     K = 5
     many = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: chain(v), x))
-    filter_ms = timed(many, radiance, K, reps=3, fetch_overhead=fetch_overhead) * 1e3
-    log(f"filter chain: {filter_ms:.3f} ms/frame (K={K} in-jit iters)")
+    filter_ms, filter_ms_med = [
+        v * 1e3
+        for v in timed_dist(many, radiance, K, reps=12,
+                            fetch_overhead=fetch_overhead)
+    ]
+    log(f"filter chain: {filter_ms:.3f} ms/frame min, {filter_ms_med:.3f} med "
+        f"(K={K} in-jit iters, 12 reps)")
 
     # per-stage breakdown (stderr only; same methodology)
     def stage(name, fn):
         lp = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: fn(v), x))
         try:
-            ms = timed(lp, radiance, K, reps=3, fetch_overhead=fetch_overhead) * 1e3
+            ms = timed(lp, radiance, K, reps=10, fetch_overhead=fetch_overhead) * 1e3
             log(f"  {name:24s} {ms:7.3f} ms")
         except Exception as e:  # pragma: no cover
             log(f"  {name:24s} FAILED {type(e).__name__}")
@@ -166,13 +185,37 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"trace bench FAILED: {type(e).__name__}: {e}")
 
+    # ---- sharding evidence (virtual 8-device CPU mesh, subprocess so the
+    # TPU-backend process stays clean) ----
+    sharding = {}
+    try:
+        import subprocess
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)   # skip TPU-tunnel registration
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "bench_sharding.py")],
+            capture_output=True, text=True, timeout=1500, env=env,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            sharding = json.loads(r.stdout.strip().splitlines()[-1])
+        else:
+            log(f"sharding bench rc={r.returncode}: {r.stderr[-400:]}")
+    except Exception as e:  # pragma: no cover
+        log(f"sharding bench FAILED: {type(e).__name__}: {e}")
+
     baseline_ms = 6.0
     print(json.dumps({
         "metric": "svgf_denoise_1080p",
         "value": round(filter_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / filter_ms, 2),
+        "value_median": round(filter_ms_med, 3),
+        "reps": 12,
         **trace_stats,
+        "sharding": sharding,
     }))
 
 
@@ -180,12 +223,10 @@ def bench_trace(w, h, fetch_overhead):
     """Time render_frame (all six stages) and the trace stage alone at 1080p
     on the Cornell box; report ms/frame and Mrays/s/chip.
 
-    Ray count per pixel (MIS estimator, render/pathtrace._bounce_mis):
-    per bounce one NEE shadow ray + one MIS bsdf ray + 2 x n_area_lights
-    SampleLightsPDF re-traces (Common.cuh:635-715), plus a next-bounce
-    re-trace for lanes whose MIS hit is not reused, plus the primary when
-    hybrid_primary is off (the G-buffer pass casts it instead, so it is
-    counted either way).
+    Mrays/s uses the MEASURED ray count (FrameMetrics.rays_traced: active
+    lanes of every intersect invocation accumulated inside the trace —
+    VERDICT r3 item 10), not a per-pixel formula, so lane compaction and
+    masked-trace skips cannot inflate it.
     """
     import dataclasses as dc
 
@@ -201,35 +242,29 @@ def bench_trace(w, h, fetch_overhead):
         width=w, height=h,
         tracing=TracingConfig(batch=1, bounces=3, clamp=10.0),
         svgf=SVGFConfig(spatial_filter_steps=5),
-        trace_chunks=32,
+        trace_chunks=8,   # r4 sweep optimum (scripts/profile_trace.py)
         state_dtype="float16",
         keep_taps=False,   # perf path: don't keep every stage live (config.py)
     )
     scene = cornell_box()
     scene.cameras[0].aspect = w / h
     arrays = scene.flatten()
-    b = config.tracing.bounces
-    # per MIS bounce: one NEE shadow ray + one MIS bsdf ray (their hits also
-    # supply the light pdfs — sample_lights_pdf_from_hit, no per-light
-    # re-traces), plus a next-bounce re-trace for non-reused lanes, plus the
-    # G-buffer primary
-    rays_pp = 1 + 2 * b + (b - 1)
-    total_rays = rays_pp * w * h * config.tracing.batch
 
     state0 = TemporalState.initial(h, w, jnp.dtype(config.state_dtype))
 
     def frame(st):
         out, new = render_frame(arrays, st, config)
-        return new
+        return new, out.metrics.rays_traced
 
     step = jax.jit(frame, donate_argnums=(0,))
     log("compiling 1080p render_frame (cornell)...")
-    state = step(state0)
+    state, nrays = step(state0)
     _fetch(state.color)
+    total_rays = int(nrays)   # measured (steady for a static camera)
     best = 1e9
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
-        state = step(state)
+        state, nrays = step(state)
         _fetch(state.color)
         best = min(best, time.perf_counter() - t0)
     frame_ms = (best - fetch_overhead) * 1e3
@@ -241,16 +276,19 @@ def bench_trace(w, h, fetch_overhead):
 
     def trace_only(st):
         out, new = render_frame(arrays, st, cfg_t)
-        return new
+        return new, out.metrics.rays_traced
 
     step_t = jax.jit(trace_only, donate_argnums=(0,))
     log("compiling trace-only step...")
-    state_t = step_t(TemporalState.initial(h, w, jnp.dtype(config.state_dtype)))
+    state_t, nrays_t = step_t(
+        TemporalState.initial(h, w, jnp.dtype(config.state_dtype))
+    )
     _fetch(state_t.color)
+    total_rays = int(nrays_t)
     best_t = 1e9
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
-        state_t = step_t(state_t)
+        state_t, nrays_t = step_t(state_t)
         _fetch(state_t.color)
         best_t = min(best_t, time.perf_counter() - t0)
     trace_ms = (best_t - fetch_overhead) * 1e3
@@ -258,11 +296,13 @@ def bench_trace(w, h, fetch_overhead):
     mrays = total_rays / (trace_ms * 1e-3) / 1e6
     log(f"1080p frame (6 stages, cornell): {frame_ms:.2f} ms/frame")
     log(f"1080p trace+gbuffer: {trace_ms:.2f} ms  "
-        f"({rays_pp} rays/px -> {mrays:.1f} Mrays/s/chip)")
+        f"({total_rays/1e6:.1f} Mrays measured -> {mrays:.1f} Mrays/s/chip)")
     return {
         "frame_ms_1080p_cornell": round(frame_ms, 2),
         "trace_ms_1080p_cornell": round(trace_ms, 2),
         "mrays_per_s_per_chip": round(mrays, 1),
+        "rays_per_frame_measured": total_rays,
+        "rays_accounting": "measured",
     }
 
 

@@ -59,7 +59,7 @@ def loss_trace(cf):
     sc = mk_scene(cf)
     key = jax.random.key(0)
     ro, rd = camera_rays(sc.cam_frame[cam], sc.cam_proj[cam], H, W)
-    rad, _ = pathtrace(sc, ro, rd, key, bounces=1)
+    rad, _, _ = pathtrace(sc, ro, rd, key, bounces=1)
     return jnp.mean(rad ** 2)
 
 
@@ -69,7 +69,7 @@ def loss_trace_hybrid(cf):
     g = raster_gbuffer(sc, cam, H, W)
     fh = gbuffer_first_hit(g)
     ro, rd = camera_rays(sc.cam_frame[cam], sc.cam_proj[cam], H, W)
-    rad, _ = pathtrace(sc, ro, rd, key, bounces=1, first_hit=fh)
+    rad, _, _ = pathtrace(sc, ro, rd, key, bounces=1, first_hit=fh)
     return jnp.mean(rad ** 2)
 
 

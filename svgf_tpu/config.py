@@ -117,6 +117,12 @@ class RenderConfig:
     #   "interpret" — Pallas interpreter mode (CPU parity tests of the
     #                 pipeline's actual kernel code path)
     use_pallas: str = "auto"
+    # Separate policy for the dense Pallas INTERSECTOR (None = follow
+    # use_pallas). Lets tests pin the intersector while exercising the
+    # filter kernels: ray-triangle edge ties flip under different fp
+    # contraction, and one flipped primary pixel spreads through the
+    # variance-guided filters — unrelated to filter-kernel parity.
+    use_pallas_intersect: str | None = None
     # Motion bound (|dy|, |dx|) in pixels for the Pallas temporal-reprojection
     # kernel. Reprojection with larger per-frame motion is treated as a
     # disocclusion (documented deviation: the reference gathers anywhere,

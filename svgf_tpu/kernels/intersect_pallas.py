@@ -5,9 +5,17 @@ Moller-Trumbore temporaries through HBM every chunk step — at 1080p that is
 GBs of traffic per scene intersect and the frame is ~100% trace-bound
 (BENCH_r02). This kernel keeps the WHOLE padded world-triangle soup resident
 in VMEM (9 x T floats: 16k tris = 576 KB) and tiles rays over the grid, so
-per ray the only HBM traffic is 6 floats in + 4 values out while all
+per ray the only HBM traffic is 8 floats in + 4 values out while all
 (ray x triangle) math stays on the VPU. Arithmetic intensity ~100 flops/byte
 -> compute-bound, which is the speed-of-light regime for this op.
+
+Layout (r4 rework): every per-ray array is LANE-major — rays live on the
+128-wide lane dimension ((3, R) origins/directions, (2, R) t0+active,
+(4, R) out), so a ray tile's DMA is a few KB instead of the 128x-padded MB
+the r3 (R, 3) layout cost (~15 us/grid-step of pure copy, 8 ms/intersect at
+1080p). Inside the kernel the MT temporaries are (TC tris x RS rays):
+triangles on sublanes (via 10 small (1,TC)->(TC,1) transposes per triangle
+chunk), rays on lanes.
 
 Semantics mirror intersect_dense exactly (reference Common.cuh:509-536
 Moller-Trumbore + nearest-hit selection with first-minimum tie-break).
@@ -24,113 +32,102 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_LENGTH = 1e30
 
-# rays per grid step; triangles per inner loop step
-_RT = 256
-_TC = 512
+# rays per grid step / rays per inner sub-tile / triangles per inner step.
+# A TPU grid step has ~2-3 us fixed overhead, so ray tiles are large; the
+# (TC, RS) Moller-Trumbore temporaries stay VMEM-sized.
+_RT = 4096
+_RS = 512
+_TC = 256
 
 
-def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, t0_ref, act_ref, out_ref,
+def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
             *, n_chunks, tc):
-    """One ray tile (RT rays) against every triangle chunk.
+    """One ray tile (RT rays, on lanes) against every triangle chunk.
 
-    tri_ref: (9, T) VMEM — v0xyz, v1xyz, v2xyz rows, T = n_chunks*TC
+    tri_ref: (9, T) VMEM — v0xyz, v1xyz, v2xyz rows, T = n_chunks*tc
     valid_ref: (1, T) f32 — 1.0 for real triangles (0 = padding / filtered)
-    ro_ref/rd_ref: (RT, 3); t0_ref/act_ref: (RT, 1); out_ref: (RT, 4)
+    ro_ref/rd_ref: (3, RT); ta_ref: (2, RT) rows = (t0, active);
+    out_ref: (4, RT) rows = (t, u, v, tri_index).
 
-    Tile-level early-out: a tile whose rays are ALL inactive (dead lanes
-    after termination/RR, or a masked re-trace) skips the whole triangle
-    loop — the wavefront analogue of SIMT divergence exit
-    (PathTrace.cuh:558-621), and what makes masked traces nearly free.
+    Tile / sub-tile early-out: a tile (or RS-ray sub-tile) whose rays are
+    ALL inactive (dead lanes after termination/RR, or a masked re-trace)
+    skips the triangle loop — the wavefront analogue of SIMT divergence
+    exit (PathTrace.cuh:558-621); masked traces are nearly free.
     """
-    t00 = t0_ref[:, 0:1]
-    live = jnp.any(act_ref[:, 0] > 0.0)
+    t00 = ta_ref[0:1, :]                       # (1, RT)
+    out_ref[0:1, :] = t00
+    out_ref[1:4, :] = jnp.zeros((3, out_ref.shape[1]), jnp.float32)
+    live_tile = jnp.any(ta_ref[1, :] > 0.0)
 
-    @pl.when(jnp.logical_not(live))
-    def _dead_tile():
-        out_ref[:, 0:1] = t00
-        out_ref[:, 1:4] = jnp.zeros_like(out_ref[:, 1:4])
+    @pl.when(live_tile)
+    def _live():
+        def chunk(c, _):
+            sl = pl.ds(c * tc, tc)
+            # triangles onto sublanes: 10 small (1,tc)->(tc,1) transposes,
+            # hoisted out of the ray sub-tile loop
+            comp = [
+                jnp.transpose(tri_ref[k, sl][None, :], (1, 0)) for k in range(9)
+            ]
+            (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = comp
+            val = jnp.transpose(valid_ref[0, sl][None, :], (1, 0)) > 0.5
+            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
 
-    @pl.when(live)
-    def _live_tile():
-        _trace_tile(tri_ref, valid_ref, ro_ref, rd_ref, t00, out_ref,
-                    n_chunks=n_chunks, tc=tc)
+            def sub(s, _):
+                rows = pl.ds(s * _RS, _RS)
+                live = jnp.any(ta_ref[1, rows] > 0.0)
 
+                @pl.when(live)
+                def _go():
+                    rox = ro_ref[0:1, rows]
+                    roy = ro_ref[1:2, rows]
+                    roz = ro_ref[2:3, rows]
+                    rdx = rd_ref[0:1, rows]
+                    rdy = rd_ref[1:2, rows]
+                    rdz = rd_ref[2:3, rows]
+                    # h = rd x e2 -> (tc, RS)
+                    hx = rdy * e2z - rdz * e2y
+                    hy = rdz * e2x - rdx * e2z
+                    hz = rdx * e2y - rdy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    parallel = jnp.abs(a) < 1e-8
+                    f = 1.0 / jnp.where(parallel, 1.0, a)
+                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (rdx * qx + rdy * qy + rdz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    hit = (
+                        (~parallel) & (u >= 0) & (u <= 1) & (v >= 0)
+                        & (u + v <= 1) & (t > 1e-8) & val
+                    )
+                    t = jnp.where(hit, t, MAX_LENGTH)
 
-def _trace_tile(tri_ref, valid_ref, ro_ref, rd_ref, t00, out_ref,
-                *, n_chunks, tc):
-    rox = ro_ref[:, 0:1]
-    roy = ro_ref[:, 1:2]
-    roz = ro_ref[:, 2:3]
-    rdx = rd_ref[:, 0:1]
-    rdy = rd_ref[:, 1:2]
-    rdz = rd_ref[:, 2:3]
+                    tmin = jnp.min(t, axis=0, keepdims=True)      # (1, RS)
+                    srow = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                    first = jnp.min(
+                        jnp.where(t == tmin, srow, jnp.int32(2 ** 30)),
+                        axis=0, keepdims=True,
+                    )
+                    sel = srow == first
+                    uc = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+                    vc = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+                    ic = (first + c * tc).astype(jnp.float32)
 
-    def chunk(c, carry):
-        bt, bu, bv, bi = carry
-        sl = pl.ds(c * tc, tc)
-        v0x = tri_ref[0, sl][None, :]
-        v0y = tri_ref[1, sl][None, :]
-        v0z = tri_ref[2, sl][None, :]
-        v1x = tri_ref[3, sl][None, :]
-        v1y = tri_ref[4, sl][None, :]
-        v1z = tri_ref[5, sl][None, :]
-        v2x = tri_ref[6, sl][None, :]
-        v2y = tri_ref[7, sl][None, :]
-        v2z = tri_ref[8, sl][None, :]
-        val = valid_ref[0, sl][None, :] > 0.5
+                    bt = out_ref[0:1, rows]
+                    closer = tmin < bt
+                    out_ref[0:1, rows] = jnp.where(closer, tmin, bt)
+                    out_ref[1:2, rows] = jnp.where(closer, uc, out_ref[1:2, rows])
+                    out_ref[2:3, rows] = jnp.where(closer, vc, out_ref[2:3, rows])
+                    out_ref[3:4, rows] = jnp.where(closer, ic, out_ref[3:4, rows])
+                return 0
 
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-        # h = rd x e2   -> (RT, TC)
-        hx = rdy * e2z - rdz * e2y
-        hy = rdz * e2x - rdx * e2z
-        hz = rdx * e2y - rdy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        parallel = jnp.abs(a) < 1e-8
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        # q = s x e1
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (rdx * qx + rdy * qy + rdz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        hit = (
-            (~parallel) & (u >= 0) & (u <= 1) & (v >= 0)
-            & (u + v <= 1) & (t > 1e-8) & val
-        )
-        t = jnp.where(hit, t, MAX_LENGTH)
+            jax.lax.fori_loop(0, out_ref.shape[1] // _RS, sub, 0)
+            return 0
 
-        tmin = jnp.min(t, axis=1, keepdims=True)                      # (RT,1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = jnp.min(
-            jnp.where(t == tmin, lane, jnp.int32(2 ** 30)), axis=1, keepdims=True
-        )
-        sel = lane == first
-        uc = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        vc = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-        ic = (first + c * tc).astype(jnp.float32)
-
-        closer = tmin < bt
-        return (
-            jnp.where(closer, tmin, bt),
-            jnp.where(closer, uc, bu),
-            jnp.where(closer, vc, bv),
-            jnp.where(closer, ic, bi),
-        )
-
-    init = (
-        t00,
-        jnp.zeros_like(t00),
-        jnp.zeros_like(t00),
-        jnp.zeros_like(t00),
-    )
-    bt, bu, bv, bi = jax.lax.fori_loop(0, n_chunks, chunk, init)
-    out_ref[:, 0:1] = bt
-    out_ref[:, 1:2] = bu
-    out_ref[:, 2:3] = bv
-    out_ref[:, 3:4] = bi
+        jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -150,12 +147,14 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
         valid = jnp.concatenate([valid, jnp.zeros((tpad,), valid.dtype)], axis=0)
         T = T + tpad
     pad = (-R) % _RT
+    ro_t = ro.T
+    rd_t = rd.T
+    ta = jnp.stack([t0, act])
     if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)], axis=0)
-        rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)], axis=0)
-        t0 = jnp.concatenate([t0, jnp.zeros((pad,), t0.dtype)], axis=0)
-        act = jnp.concatenate([act, jnp.zeros((pad,), act.dtype)], axis=0)
-    Rp = ro.shape[0]
+        ro_t = jnp.concatenate([ro_t, jnp.zeros((3, pad), ro.dtype)], axis=1)
+        rd_t = jnp.concatenate([rd_t, jnp.ones((3, pad), rd.dtype)], axis=1)
+        ta = jnp.concatenate([ta, jnp.zeros((2, pad), ta.dtype)], axis=1)
+    Rp = ro_t.shape[1]
     grid = (Rp // _RT,)
 
     out = pl.pallas_call(
@@ -164,18 +163,16 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
         in_specs=[
             pl.BlockSpec((9, T), lambda i: (0, 0)),
             pl.BlockSpec((1, T), lambda i: (0, 0)),
-            pl.BlockSpec((_RT, 3), lambda i: (i, 0)),
-            pl.BlockSpec((_RT, 3), lambda i: (i, 0)),
-            pl.BlockSpec((_RT, 1), lambda i: (i, 0)),
-            pl.BlockSpec((_RT, 1), lambda i: (i, 0)),
+            pl.BlockSpec((3, _RT), lambda i: (0, i)),
+            pl.BlockSpec((3, _RT), lambda i: (0, i)),
+            pl.BlockSpec((2, _RT), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((_RT, 4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Rp, 4), jnp.float32),
+        out_specs=pl.BlockSpec((4, _RT), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((4, Rp), jnp.float32),
         interpret=interpret,
-    )(tris9, valid.reshape(1, T), ro, rd, t0.reshape(Rp, 1), act.reshape(Rp, 1))
+    )(tris9, valid.reshape(1, T), ro_t, rd_t, ta)
 
-    out = out[:R]
-    return out[:, 0], out[:, 1], out[:, 2], out[:, 3].astype(jnp.int32)
+    return out[0, :R], out[1, :R], out[2, :R], out[3, :R].astype(jnp.int32)
 
 
 def intersect_dense_pallas(scene, ro, rd, active=None, any_hit=False,

@@ -17,15 +17,47 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# max elements of the (R, T) one-hot temp (f32): 128M elems = 512 MB
-# transient. Full-frame (2M-lane) gathers fall back to indexing; the
-# chunked trace wavefronts (the hot path) stay under the cap and ride the
-# MXU. Raising this risks HBM OOM at 1080p (several sites live at once).
-_MAX_ONEHOT_ELEMS = 128 * 1024 * 1024
+# max elements of ONE live (R, T) one-hot temp (f32): 64M elems = 256 MB
+# transient. Larger gathers are CHUNKED over rows (lax.map of one-hot
+# matmuls) rather than falling back to the slow XLA dynamic-gather — at
+# 1080p full-frame (2M-lane) sizes the fallback was 10-40x slower than the
+# chunked MXU path and made *larger* trace chunks net-slower (r3 sweep:
+# trace_chunks=2 took 2.2x chunks=32 because every intersect's attribute
+# lookup fell off the MXU path here).
+_MAX_ONEHOT_ELEMS = 64 * 1024 * 1024
+
+# tables wider than this aren't worth a one-hot matmul even chunked (the
+# (R, T) temp outgrows the useful work); plain indexing wins
+_MAX_ONEHOT_TABLE = 4096
 
 
 def _use_onehot(T: int, R: int) -> bool:
-    return T * R <= _MAX_ONEHOT_ELEMS and T >= 2
+    return 2 <= T <= _MAX_ONEHOT_TABLE
+
+
+def _onehot_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """(R,) idx -> (R, C) rows of flat (T, C) via MXU one-hot matmuls,
+    row-chunked so the transient one-hot stays <= _MAX_ONEHOT_ELEMS."""
+    T, C = flat.shape
+    R = idx.shape[0]
+
+    def mm(ix):
+        oh = jax.nn.one_hot(ix, T, dtype=jnp.float32)
+        return jax.lax.dot_general(
+            oh, flat, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    max_rows = max(_MAX_ONEHOT_ELEMS // T, 1)
+    if R <= max_rows:
+        return mm(idx)
+    # round the chunk to a multiple of 8 sublanes and pad R up to it
+    rc = max(max_rows // 8 * 8, 8)
+    n = -(-R // rc)
+    pad = n * rc - R
+    idx_p = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)]) if pad else idx
+    out = jax.lax.map(mm, idx_p.reshape(n, rc))
+    return out.reshape(n * rc, C)[:R]
 
 
 def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
@@ -34,11 +66,7 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     R = idx.shape[0]
     flat = table.reshape(T, -1)
     if _use_onehot(T, R) and flat.dtype == jnp.float32:
-        oh = jax.nn.one_hot(idx, T, dtype=jnp.float32)
-        out = jax.lax.dot_general(
-            oh, flat, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out = _onehot_rows(flat, idx)
     else:
         out = flat[idx]
     return out.reshape((R,) + table.shape[1:])
@@ -63,11 +91,7 @@ def take_rows_multi(tables, idx):
         return tuple(take_rows(t, idx) for t in tables)
     flats = [t.reshape(T, -1) for t in tables]
     cat = jnp.concatenate(flats, axis=1)
-    oh = jax.nn.one_hot(idx, T, dtype=jnp.float32)
-    out = jax.lax.dot_general(
-        oh, cat, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out = _onehot_rows(cat, idx)
     res = []
     c0 = 0
     for t, f in zip(tables, flats):

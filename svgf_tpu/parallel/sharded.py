@@ -159,7 +159,7 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
     sdtype = jnp.dtype(config.state_dtype)
 
     from svgf_tpu.ops import intersect as _isect
-    _isect.set_pallas_mode(config.use_pallas)
+    _isect.set_pallas_mode(config.use_pallas_intersect or config.use_pallas)
 
     gbuf = raster_gbuffer(scene, cam, hs, w, row0=row0, h_total=h_total)
     # band-exact depth derivative: the forward difference at the band's last
@@ -191,7 +191,7 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
         ro, rd = camera_rays(scene.cam_frame[cam], scene.cam_proj[cam], hs, w,
                              jitter=jitter, row0=row0, h_total=h_total)
         first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
-        sample, _ = pathtrace_chunked(
+        sample, _, _nr = pathtrace_chunked(
             scene, ro, rd, skey,
             bounces=config.tracing.bounces, clamp=config.tracing.clamp,
             mode=config.tracing.sampling_mode, first_hit=first_hit,

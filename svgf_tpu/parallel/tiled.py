@@ -116,7 +116,7 @@ def _frame_body_2d(scene, color, moments, history_len, taa_history, prev_gbuf,
     sdtype = jnp.dtype(config.state_dtype)
 
     from svgf_tpu.ops import intersect as _isect
-    _isect.set_pallas_mode(config.use_pallas)
+    _isect.set_pallas_mode(config.use_pallas_intersect or config.use_pallas)
 
     gbuf = raster_gbuffer(scene, cam, hs, ws, row0=row0, h_total=h_total,
                           col0=col0, w_total=w_total)
@@ -139,7 +139,7 @@ def _frame_body_2d(scene, color, moments, history_len, taa_history, prev_gbuf,
                              jitter=jitter, row0=row0, h_total=h_total,
                              col0=col0, w_total=w_total)
         first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
-        sample, _ = pathtrace_chunked(
+        sample, _, _nr = pathtrace_chunked(
             scene, ro, rd, skey,
             bounces=config.tracing.bounces, clamp=config.tracing.clamp,
             mode=config.tracing.sampling_mode, first_hit=first_hit,
@@ -148,32 +148,64 @@ def _frame_body_2d(scene, color, moments, history_len, taa_history, prev_gbuf,
         radiance = radiance + sample / config.tracing.batch
     radiance = radiance.reshape(hs, ws, 3)
 
-    # temporal reprojection: exact unbounded gather against the all-gathered
-    # previous frame (XLA path; motion may point anywhere on screen)
-    prev_color_full = _gather_full(color.astype(jnp.float32), ay, ax)
-    prev_moments_full = _gather_full(moments.astype(jnp.float32), ay, ax)
-    prev_history_full = _gather_full(history_len, ay, ax)
-    prev_gbuf_full = GBuffer.zeros(1, 1)._replace(
-        depth=_gather_full(prev_gbuf.depth.astype(jnp.float32), ay, ax),
-        instance=_gather_full(prev_gbuf.instance, ay, ax),
-        normal=_gather_full(prev_gbuf.normal.astype(jnp.float32), ay, ax),
-        motion=jnp.zeros((h_total, w_total, 2)),
-        position=jnp.zeros((h_total, w_total, 3)),
-        depth_deriv=jnp.zeros((h_total, w_total)),
-        uv=jnp.zeros((h_total, w_total, 2)),
-        prim=jnp.zeros((h_total, w_total), jnp.int32),
-        material=jnp.zeros((h_total, w_total), jnp.int32),
-    )
-    tres = svgf.temporal_filter(
-        radiance, prev_color_full, gbuf, prev_gbuf_full,
-        prev_moments_full, prev_history_full,
-        depth_threshold=config.svgf.depth_threshold,
-        normal_threshold=config.svgf.normal_threshold,
-        history_base_length=config.svgf.history_length,
-        row0=row0, col0=col0,
+    # temporal reprojection. Fast path: motion is bounded to
+    # config.reproject_max_motion = (BY, BX) pixels/frame (the same bound
+    # the row-mesh Pallas kernel applies — kernels.temporal_pallas), so the
+    # previous-frame state only needs a (BY, BX) 2-D halo exchanged via
+    # ppermute over ICI — NO image-sized all_gather in the compiled step
+    # (VERDICT r3 item 5; asserted against the HLO in tests/test_sharding).
+    # Tiles smaller than the bound fall back to the exact all-gathered
+    # reprojection (motion may then point anywhere on screen).
+    from svgf_tpu.parallel.halo import (
+        crop_tile_halo, with_col_halo, with_row_halo, with_tile_halo,
     )
 
-    from svgf_tpu.parallel.halo import crop_tile_halo, with_tile_halo
+    BY, BX = config.reproject_max_motion
+    if BY < hs and BX < ws:
+        win = lambda v: with_col_halo(
+            with_row_halo(v, BY, ay, "zero"), BX, ax, "zero"
+        )
+        wz = lambda *shape: jnp.zeros((hs + 2 * BY, ws + 2 * BX) + shape)
+        prev_gbuf_win = GBuffer.zeros(1, 1)._replace(
+            depth=win(prev_gbuf.depth.astype(jnp.float32)),
+            instance=win(prev_gbuf.instance),
+            normal=win(prev_gbuf.normal.astype(jnp.float32)),
+            motion=wz(2), position=wz(3), depth_deriv=wz(), uv=wz(2),
+            prim=wz().astype(jnp.int32), material=wz().astype(jnp.int32),
+        )
+        tres = svgf.temporal_filter(
+            radiance, win(color.astype(jnp.float32)), gbuf, prev_gbuf_win,
+            win(moments.astype(jnp.float32)), win(history_len),
+            depth_threshold=config.svgf.depth_threshold,
+            normal_threshold=config.svgf.normal_threshold,
+            history_base_length=config.svgf.history_length,
+            row0=row0, col0=col0,
+            prev_row0=row0 - BY, prev_col0=col0 - BX,
+            full_h=h_total, full_w=w_total,
+        )
+    else:
+        prev_color_full = _gather_full(color.astype(jnp.float32), ay, ax)
+        prev_moments_full = _gather_full(moments.astype(jnp.float32), ay, ax)
+        prev_history_full = _gather_full(history_len, ay, ax)
+        prev_gbuf_full = GBuffer.zeros(1, 1)._replace(
+            depth=_gather_full(prev_gbuf.depth.astype(jnp.float32), ay, ax),
+            instance=_gather_full(prev_gbuf.instance, ay, ax),
+            normal=_gather_full(prev_gbuf.normal.astype(jnp.float32), ay, ax),
+            motion=jnp.zeros((h_total, w_total, 2)),
+            position=jnp.zeros((h_total, w_total, 3)),
+            depth_deriv=jnp.zeros((h_total, w_total)),
+            uv=jnp.zeros((h_total, w_total, 2)),
+            prim=jnp.zeros((h_total, w_total), jnp.int32),
+            material=jnp.zeros((h_total, w_total), jnp.int32),
+        )
+        tres = svgf.temporal_filter(
+            radiance, prev_color_full, gbuf, prev_gbuf_full,
+            prev_moments_full, prev_history_full,
+            depth_threshold=config.svgf.depth_threshold,
+            normal_threshold=config.svgf.normal_threshold,
+            history_base_length=config.svgf.history_length,
+            row0=row0, col0=col0,
+        )
 
     def run_moments():
         halo = 3

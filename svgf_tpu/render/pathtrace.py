@@ -219,7 +219,13 @@ def pathtrace(
     lane0=0,
     lane_ids=None,
 ):
-    """Trace one sample per lane. Returns (radiance (R,3), first_normal (R,3)).
+    """Trace one sample per lane. Returns (radiance (R,3), first_normal
+    (R,3), rays_traced () i32).
+
+    rays_traced counts the ACTIVE lanes of every intersect_scene invocation
+    (MEASURED, not a formula — VERDICT r3 item 10): masked-off lanes skip
+    their tile in the Pallas intersector, so they genuinely cost ~nothing
+    and are not counted.
 
     lane0 / lane_ids: global lane ids (chunked / band / 2-D-tile rendering) —
     random draws hash (seed, site, lane id), so any partition of the frame
@@ -244,14 +250,20 @@ def pathtrace(
         vol_anisotropy=jnp.zeros((R,), jnp.float32),
     )
     first_normal = jnp.zeros((R, 3), jnp.float32)
+    nrays = jnp.zeros((), jnp.int32)
 
-    hit = first_hit if first_hit is not None else intersect_scene(scene, ro, rd)
+    if first_hit is not None:
+        hit = first_hit
+    else:
+        hit = intersect_scene(scene, ro, rd)
+        nrays = nrays + R
     for b in range(bounces):
         rng = RngStream(jax.random.fold_in(key, b), lane_ids)
         if mode == SamplingMode.MIS:
-            state, next_hit, has_next = _bounce_mis(scene, state, hit, rng, b)
+            state, next_hit, has_next, nb = _bounce_mis(scene, state, hit, rng, b)
         else:
-            state, next_hit, has_next = _bounce_simple(scene, state, hit, rng, b, mode)
+            state, next_hit, has_next, nb = _bounce_simple(scene, state, hit, rng, b, mode)
+        nrays = nrays + nb
         if b == 0:
             sh0 = _shading_point(scene, hit, -rd)
             first_normal = jnp.where(
@@ -276,9 +288,9 @@ def pathtrace(
         )
         state = state._replace(active=state.active & ~dead)
         if b + 1 < bounces:
-            traced = intersect_scene(
-                scene, state.ro, state.rd, active=state.active & ~has_next
-            )
+            retrace = state.active & ~has_next
+            traced = intersect_scene(scene, state.ro, state.rd, active=retrace)
+            nrays = nrays + jnp.sum(retrace.astype(jnp.int32))
             hit = jax.tree.map(
                 lambda a, t: jnp.where(
                     has_next if a.ndim == 1 else has_next[..., None], a, t
@@ -295,7 +307,7 @@ def pathtrace(
     # denominator floored at `clamp` (the branch is only taken for m > clamp)
     # so the untaken branch's backward stays finite — 1e-18 floors overflow
     scale = jnp.where(m > clamp, clamp / jnp.maximum(m, clamp), 1.0)
-    return radiance * scale[..., None], first_normal
+    return radiance * scale[..., None], first_normal, nrays
 
 
 def pathtrace_chunked(
@@ -327,6 +339,8 @@ def pathtrace_chunked(
     if num_chunks <= 1:
         return pathtrace(scene, ro, rd, key, bounces, clamp, mode, first_hit,
                          lane_ids=lane_ids)
+    # NOTE: returns (radiance (R,3), first_normal (R,3), rays_traced () i32)
+    # like pathtrace; chunk ray counts are summed.
     rc = -(-R // num_chunks)
     pad = rc * num_chunks - R
 
@@ -346,14 +360,14 @@ def pathtrace_chunked(
 
     def body(args):
         ids_c, ro_c, rd_c, fh_c = args
-        rad, n = pathtrace(
+        rad, n, nr = pathtrace(
             scene, ro_c, rd_c, key,
             bounces, clamp, mode, fh_c, lane_ids=ids_c,
         )
-        return rad, n
+        return rad, n, nr
 
-    rad, n = jax.lax.map(body, (ids_r, ro_r, rd_r, fh_r))
-    return rad.reshape(-1, 3)[:R], n.reshape(-1, 3)[:R]
+    rad, n, nr = jax.lax.map(body, (ids_r, ro_r, rd_r, fh_r))
+    return rad.reshape(-1, 3)[:R], n.reshape(-1, 3)[:R], jnp.sum(nr)
 
 
 def _handle_miss(scene, state: PathState, hit: Hit):
@@ -410,6 +424,7 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     shifted_l = _offset_origin(position, normal, dir_l)
     bsdf_l = B.eval_bsdf_cos(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
     pre_l = shade & ~delta & ~l_zero & jnp.any(bsdf_l != 0.0, axis=-1)
+    nrays = jnp.sum(pre_l.astype(jnp.int32))
     shadow = intersect_scene(scene, shifted_l, dir_l, active=pre_l)
     lpdf_l = sample_lights_pdf_from_hit(scene, shifted_l, dir_l, shadow)
     bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
@@ -441,6 +456,7 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
         & jnp.any(bsdf_b != 0.0, axis=-1)
     )
+    nrays = nrays + jnp.sum(pre_b.astype(jnp.int32))
     mis_hit = intersect_scene(scene, shifted_b, dir_b, active=pre_b)
     lpdf_b = sample_lights_pdf_from_hit(scene, shifted_b, dir_b, mis_hit)
     safe_b = bpdf_b > 0
@@ -502,6 +518,9 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
 
         # in-volume scatter event replaces the surface interaction
         vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
+        # sample_lights_pdf in the scatter event re-traces every area light
+        # over all R lanes (only_instance walks, Common.cuh:635-715)
+        nrays = nrays + _n_area_lights(scene) * R
         incoming = jnp.where(stay[..., None], vdir, incoming)
         new_weight = jnp.where(stay[..., None], state.weight * vw, new_weight)
         new_ro = jnp.where(stay[..., None], vpos, new_ro)
@@ -532,7 +551,14 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         vol_anisotropy=vol_anisotropy,
     )
     has_next = new_state.active & use_mis
-    return new_state, mis_hit, has_next
+    return new_state, mis_hit, has_next, nrays
+
+
+def _n_area_lights(scene) -> int:
+    """Static count of instance (area) lights — each costs one
+    only_instance re-trace inside sample_lights_pdf (Common.cuh:635-715)."""
+    meta = scene.meta
+    return sum(1 for l in range(meta.n_lights) if meta.light_instance[l] >= 0)
 
 
 def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int,
@@ -571,6 +597,8 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
         scene, position, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
     )
     l_zero = jnp.all(dir_l == 0.0, axis=-1)
+    # per-area-light only_instance re-traces over all R lanes
+    nrays = jnp.asarray(_n_area_lights(scene) * R, jnp.int32)
     lpdf = sample_lights_pdf(scene, position, dir_l)
     w_light = B.eval_bsdf_cos(mp, normal, outgoing, dir_l, scene.meta.mat_types_used) / jnp.maximum(lpdf, 1e-18)[
         ..., None
@@ -625,6 +653,7 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
         vol_anisotropy = jnp.where(enter, mp.anisotropy, vol_anisotropy)
 
         vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
+        nrays = nrays + _n_area_lights(scene) * R
         incoming = jnp.where(stay[..., None], vdir, incoming)
         new_weight = jnp.where(stay[..., None], state.weight * vw, new_weight)
         new_ro = jnp.where(stay[..., None], vpos, new_ro)
@@ -650,4 +679,4 @@ def _bounce_simple(scene, state: PathState, hit: Hit, rng: RngStream, bounce: in
         vol_scattering=vol_scattering,
         vol_anisotropy=vol_anisotropy,
     )
-    return new_state, Hit.none((R,)), jnp.zeros((R,), jnp.bool_)
+    return new_state, Hit.none((R,)), jnp.zeros((R,), jnp.bool_), nrays

@@ -150,7 +150,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
 
     # propagate the Pallas policy to the intersector (trace-time static)
     from svgf_tpu.ops import intersect as _isect
-    _isect.set_pallas_mode(config.use_pallas)
+    _isect.set_pallas_mode(config.use_pallas_intersect or config.use_pallas)
 
     # ---- 1. Rasterize (primary visibility) ----
     with jax.named_scope("gbuffer"):
@@ -159,6 +159,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     # ---- 2. Trace (1spp x batch path tracing) ----
     key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
     radiance = jnp.zeros((h * w, 3), jnp.float32)
+    rays_traced = jnp.asarray(h * w, jnp.int32)  # the G-buffer primary pass
     with jax.named_scope("trace"):
         for s in range(config.tracing.batch):
             skey = jax.random.fold_in(key, s)
@@ -172,7 +173,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 scene.cam_frame[cam], scene.cam_proj[cam], h, w, jitter=jitter
             )
             first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
-            sample, _ = pathtrace_chunked(
+            sample, _, nr = pathtrace_chunked(
                 scene,
                 ro,
                 rd,
@@ -184,6 +185,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 num_chunks=config.trace_chunks,
             )
             radiance = radiance + sample / config.tracing.batch
+            rays_traced = rays_traced + nr
     radiance = radiance.reshape(h, w, 3)
 
     tres, moments_out, atrous_out, final, feedback = filter_chain(
@@ -205,19 +207,17 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     image = _select_tap(config.debug_output, radiance, tres, moments_out, atrous_out,
                         final, gbuf)
 
-    # structured per-frame metrics (SURVEY §5 observability)
+    # structured per-frame metrics (SURVEY §5 observability).
+    # rays_traced is MEASURED: active lanes of every intersect invocation,
+    # accumulated inside the trace (render/pathtrace.py) + the primary pass.
     from svgf_tpu.render.types import FrameMetrics
 
-    nb = config.tracing.bounces
-    n_intersects = (
-        1 + (0 if config.hybrid_primary else 1) + nb * 2 + max(nb - 1, 0)
-    )
     metrics = FrameMetrics(
         disoccluded_pct=100.0 * (1.0 - jnp.mean(tres.reprojected.astype(jnp.float32))),
         mean_history=jnp.mean(tres.history_len.astype(jnp.float32)),
         mean_variance=jnp.mean(tres.color[..., 3]),
         coverage_pct=100.0 * jnp.mean((gbuf.instance >= 0).astype(jnp.float32)),
-        rays_traced=jnp.int32(n_intersects * h * w * config.tracing.batch),
+        rays_traced=rays_traced,
     )
 
     taps = config.keep_taps or config.debug_output != DebugOutput.FINAL

@@ -112,13 +112,27 @@ def temporal_filter(
     history_base_length: int,
     row0=0,
     col0=0,
+    prev_row0=0,
+    prev_col0=0,
+    full_h=None,
+    full_w=None,
 ) -> TemporalResult:
     """`row0`/`col0`: global position of this band/tile's first pixel
-    (sharded path); the prev_* arrays and prev_gbuf always cover the FULL
-    image (reprojection may gather anywhere, so previous-frame state is
-    all-gathered across shards)."""
+    (sharded path). The prev_* arrays and prev_gbuf cover either the FULL
+    image (default: unsharded, or all-gathered previous state) or a
+    halo-extended WINDOW of it whose first pixel sits at global
+    (`prev_row0`, `prev_col0`) — the motion-bounded tiled path
+    (parallel.tiled): reprojection targets outside the window count as
+    off-screen (treated as disocclusions), exactly like the Pallas
+    band kernel's motion bound (kernels.temporal_pallas). `full_h`/`full_w`
+    give the true image size for the on-screen test (default: the prev
+    window IS the full image)."""
     h, w = current.shape[:2]
     h_prev, w_prev = prev_color.shape[:2]
+    if full_h is None:
+        full_h = h_prev
+    if full_w is None:
+        full_w = w_prev
     cur = load01(current[..., :3])
 
     # --- reprojection (LoadPreviousData) ---
@@ -128,7 +142,11 @@ def temporal_filter(
     # ivec2 cast truncates toward zero (Filter.cuh:232); motion is (x, y)
     px = c + motion[..., 0].astype(jnp.int32)
     py = r + motion[..., 1].astype(jnp.int32)
-    on_screen = (px >= 0) & (px < w_prev) & (py >= 0) & (py < h_prev)
+    on_screen = (px >= 0) & (px < full_w) & (py >= 0) & (py < full_h)
+    # window-local coordinates into the prev arrays
+    px = px - prev_col0
+    py = py - prev_row0
+    on_screen = on_screen & (px >= 0) & (px < w_prev) & (py >= 0) & (py < h_prev)
 
     # ONE packed gather for all previous-frame state (6 separate whole-image
     # gathers are ~5x slower on TPU). int channels ride as f32 exactly

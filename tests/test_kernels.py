@@ -226,13 +226,15 @@ def test_intersect_pallas_matches_dense():
         ref = intersect_dense(arrays, ro, rdir)
         out = intersect_dense_pallas(arrays, ro, rdir, interpret=True)
         # rays through shared triangle edges can flip the winning primitive
-        # under different fp summation orders (Mosaic vs XLA); require exact
-        # agreement on all but a vanishing fraction of lanes
+        # — or the hit verdict itself when u+v lands within 1 ulp of the
+        # simplex edge — under different fp contraction (Mosaic vs XLA);
+        # require exact agreement on all but a vanishing fraction of lanes
         hit = np.asarray(ref.dist) < 1e29
+        hit_out = np.asarray(out.dist) < 1e29
         same_prim = (np.asarray(out.prim) == np.asarray(ref.prim)) & (
             np.asarray(out.instance) == np.asarray(ref.instance)
         )
-        agree = same_prim | ~hit
+        agree = (same_prim | ~hit) & (hit == hit_out)
         assert agree.mean() > 0.995, f"prim mismatch on {(~agree).mean():.2%}"
         np.testing.assert_allclose(
             np.asarray(out.dist)[agree], np.asarray(ref.dist)[agree],
@@ -245,9 +247,11 @@ def test_intersect_pallas_matches_dense():
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(out.v)[m], np.asarray(ref.v)[m],
                                    atol=1e-5)
-        # even on disagreeing lanes the distance must be near-identical
-        np.testing.assert_allclose(np.asarray(out.dist)[hit],
-                                   np.asarray(ref.dist)[hit], atol=1e-3)
+        # even on prim-disagreeing lanes the distance must be near-identical
+        # (verdict-flip lanes are excluded: one side is the miss sentinel)
+        both = hit & hit_out
+        np.testing.assert_allclose(np.asarray(out.dist)[both],
+                                   np.asarray(ref.dist)[both], atol=1e-3)
 
 
 def test_intersect_pallas_only_instance_and_tmax():

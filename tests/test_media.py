@@ -128,7 +128,7 @@ def test_absorbing_slab_beer_lambert():
 
     R = 8192
     ro, rd = _straight_rays(R)
-    rad, _ = jax.jit(
+    rad, _, _ = jax.jit(
         lambda ro, rd: pathtrace(arrays, ro, rd, jax.random.key(7), bounces=4, clamp=100.0)
     )(ro, rd)
     mean = np.asarray(jnp.mean(rad, axis=0))
@@ -167,7 +167,7 @@ def test_scattering_slab_adds_inscatter_and_stays_finite():
 
     R = 8192
     ro, rd = _straight_rays(R)
-    rad, _ = jax.jit(
+    rad, _, _ = jax.jit(
         lambda ro, rd: pathtrace(arrays, ro, rd, jax.random.key(9), bounces=6, clamp=100.0)
     )(ro, rd)
     rad = np.asarray(rad)
@@ -202,7 +202,7 @@ def test_opacity_passthrough_expectation():
 
     R = 16384
     ro, rd = _straight_rays(R)
-    rad, _ = jax.jit(
+    rad, _, _ = jax.jit(
         lambda ro, rd: pathtrace(arrays, ro, rd, jax.random.key(11), bounces=3, clamp=100.0)
     )(ro, rd)
     mean = float(jnp.mean(rad))
@@ -243,7 +243,7 @@ def test_media_gradients_finite():
 
     def loss(mat_colour):
         sc = dataclasses.replace(arrays, mat_colour=mat_colour)
-        rad, _ = pathtrace(sc, ro, rd, jax.random.key(13), bounces=4, clamp=100.0)
+        rad, _, _ = pathtrace(sc, ro, rd, jax.random.key(13), bounces=4, clamp=100.0)
         return jnp.mean(rad)
 
     g = jax.jit(jax.grad(loss))(arrays.mat_colour)

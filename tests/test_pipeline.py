@@ -133,17 +133,20 @@ def test_pallas_kernel_path_matches_xla():
     stencil path."""
     scene = cornell_box(aspect=W / H).flatten()
     cfg_x = make_config(use_pallas="off")
-    cfg_p = make_config(use_pallas="interpret")
+    # pin the INTERSECTOR to the XLA path on both sides: a single
+    # ray-triangle edge tie flipping under different fp contraction changes
+    # one path's radiance, and the variance-guided filters legitimately
+    # spread that one pixel across its neighborhood — which is intersector
+    # nondeterminism, not filter-kernel divergence (the intersector has its
+    # own parity test in tests/test_kernels.py with an explicit tie budget)
+    cfg_p = make_config(use_pallas="interpret", use_pallas_intersect="off")
     state = TemporalState.initial(H, W, jnp.float32)
     out_x, _ = render_frame(scene, state, cfg_x)
     out_p, _ = render_frame(scene, jax.tree.map(jnp.copy, state), cfg_p)
-    # "interpret" also dispatches the Pallas dense intersector; rays through
-    # shared triangle edges may pick the other-but-equidistant primitive
-    # under fp reordering, perturbing isolated pixels, and TAA's 3x3
-    # neighborhood clamp spreads each such pixel to its ring — so `final`
-    # tolerates a slightly larger isolated-pixel fraction at small
-    # magnitude. Systematic divergence would blow the mean / the large-error
-    # fraction either way.
+    # TAA's 3x3 neighborhood clamp still spreads isolated fp differences to
+    # their ring — `final` tolerates a slightly larger isolated-pixel
+    # fraction at small magnitude. Systematic divergence would blow the
+    # mean / the large-error fraction either way.
     for a, b, frac_tol in (
         (out_p.final, out_x.final, 5e-3),
         (out_p.atrous, out_x.atrous, 1e-3),

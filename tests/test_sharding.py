@@ -175,6 +175,45 @@ def test_tiled_2d_frame_matches_unsharded(scene_arrays):
     )
 
 
+def test_tiled_2d_no_allgather_when_tiles_cover_halos():
+    """Motion-bounded 2-D tile reprojection (VERDICT r3 item 5): when every
+    tile is larger than every stencil/reprojection halo, the compiled tiled
+    step contains NO all-gather at all — previous-frame state moves only
+    through neighbor ppermutes (collective-permute)."""
+    import re
+
+    from svgf_tpu.parallel import make_tile_mesh, make_tiled_step
+
+    w2, h2 = 256, 128          # 2x4 mesh -> 64x64 tiles > halos (8, 63)
+    cfg = RenderConfig(
+        width=w2, height=h2, state_dtype="float32",
+        svgf=SVGFConfig(spatial_filter_steps=3),
+        tracing=TracingConfig(bounces=1),
+    )
+    scene = cornell_box(aspect=w2 / h2)
+    for c in scene.cameras:
+        c.aspect = w2 / h2
+    arrays = scene.flatten()
+
+    mesh2 = make_tile_mesh(2, 4)
+    step = make_tiled_step(cfg, mesh2)
+    state = TemporalState.initial(h2, w2, jnp.float32)
+    txt = step.lower(arrays, state).compile().as_text()
+    ags = re.findall(r"all-gather[\w-]*\(", txt)
+    assert not ags, f"compiled tiled step still all-gathers: {ags[:5]}"
+    assert "collective-permute" in txt  # the halos ride ppermute
+
+    # and the bounded path still matches the unsharded frame (static camera
+    # -> zero motion, well inside the bound)
+    s_out, s_state = step(arrays, state)
+    u_out, _ = jax.jit(functools.partial(render_frame, config=cfg))(
+        arrays, TemporalState.initial(h2, w2, jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_out.final), np.asarray(u_out.final), atol=2e-5
+    )
+
+
 def test_tiled_train_step_matches_unsharded_grads(scene_arrays):
     """Sharded (host x chip) grads == unsharded grads (VERDICT r2 item 5)."""
     import dataclasses as dc
