@@ -450,6 +450,7 @@ def build_scene_bvh(
     inst_transform: np.ndarray,  # (I, 4, 4)
     blases: list,                # per-shape BLAS
     inst_world_start: np.ndarray,  # (I,) first world-soup column per instance
+    soup_leaf_order: bool = False,  # soup columns already in BLAS-leaf order
 ) -> SceneBVH:
     root = _agglomerative_tree(inst_min, inst_max)
     if root is None:
@@ -489,13 +490,15 @@ def build_scene_bvh(
             # local skip links -> global; the local done sentinel (== n)
             # continues at this subtree's skip_to
             skip[at : at + n] = np.where(b.skip >= n, skip_to, b.skip + at)
-            # MAX_LEAF == 1: leaf triangle = tri_order[tri_first]
-            lt = np.where(
-                b.tri_count > 0,
-                b.tri_order[np.clip(b.tri_first, 0, max(len(b.tri_order) - 1, 0))]
-                + int(inst_world_start[i]),
-                -1,
-            )
+            # MAX_LEAF == 1: leaf triangle = tri_order[tri_first]; when the
+            # soup itself is in leaf order the soup column IS the slot
+            if soup_leaf_order:
+                leaf_col = np.clip(b.tri_first, 0, max(len(b.tri_order) - 1, 0))
+            else:
+                leaf_col = b.tri_order[
+                    np.clip(b.tri_first, 0, max(len(b.tri_order) - 1, 0))
+                ]
+            lt = np.where(b.tri_count > 0, leaf_col + int(inst_world_start[i]), -1)
             leaf_tri[at : at + n] = lt
         else:
             node_min[at] = nd["lo"]

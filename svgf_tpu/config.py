@@ -110,6 +110,12 @@ class RenderConfig:
     # frame (peak HBM of the shading stage scales as 1/chunks). 8 fits 1080p
     # on one v5e chip; 1 = single wavefront (small frames / CPU tests).
     trace_chunks: int = 1
+    # Ray load balancing on sharded meshes (SURVEY §2.7): one all_to_all
+    # re-deals rows round-robin before the trace so every shard works a
+    # uniform sample of the image, and one deals radiance back. Measured
+    # row-band live-lane imbalance on BaseScene is 98% at bounce 0
+    # (scripts/measure_balance.py); per-pixel results are bitwise unchanged.
+    trace_balance: bool = True
     # Pallas TPU kernels for the filter-chain stencils:
     #   "auto"      — on when the default backend is TPU (CPU tests fall back
     #                 to the pure-XLA stencils in render.svgf)

@@ -104,13 +104,26 @@ def update_instance_transform(scene, arrays, index: int, transform):
         ),
     )
 
-    # world-soup block (dense path + scene-BVH leaves read these)
+    # world-soup block (dense path + scene-BVH leaves read these); large
+    # scenes keep the soup in BLAS-leaf order (core.scene.flatten)
     start, count = arrays.meta.inst_world_range[index]
     pw = sh.tri_pos.astype(np.float64) @ t[:3, :3].astype(np.float64).T + t[:3, 3]
+    if arrays.meta.soup_leaf_order:
+        pw = pw[sh.blas.tri_order.astype(np.int64)]
     new9 = pw.reshape(count, 9).T.astype(np.float32)
     upd["world_tris9"] = arrays.world_tris9.at[:, start : start + count].set(
         jnp.asarray(new9, f)
     )
+    if arrays.meta.soup_leaf_order:
+        from svgf_tpu.accel.clusters import compute_cluster_bounds
+
+        w9 = np.array(arrays.world_tris9)  # writable host copy
+        w9[:, start : start + count] = new9
+        cb_np, sb_np = compute_cluster_bounds(
+            w9, np.asarray(arrays.world_tri_inst)
+        )
+        upd["world_cluster_bounds"] = jnp.asarray(cb_np, f)
+        upd["world_sclust_bounds"] = jnp.asarray(sb_np, f)
 
     lo, hi = _transform_aabbs(
         sh.blas.root_min[None], sh.blas.root_max[None], t.astype(np.float64)
@@ -119,8 +132,8 @@ def update_instance_transform(scene, arrays, index: int, transform):
     upd["inst_aabb_max"] = arrays.inst_aabb_max.at[index].set(jnp.asarray(hi[0], f))
 
     if arrays.meta.has_scene_bvh:
-        i_lo = np.asarray(arrays.inst_aabb_min)
-        i_hi = np.asarray(arrays.inst_aabb_max)
+        i_lo = np.array(arrays.inst_aabb_min)  # writable host copies
+        i_hi = np.array(arrays.inst_aabb_max)
         i_lo[index], i_hi[index] = lo[0], hi[0]
         sbvh = build_scene_bvh(
             i_lo, i_hi,
@@ -128,6 +141,7 @@ def update_instance_transform(scene, arrays, index: int, transform):
             np.stack([np.asarray(i.transform, np.float32) for i in scene.instances]),
             [s.blas for s in scene.shapes],
             np.asarray([r[0] for r in arrays.meta.inst_world_range], np.int32),
+            soup_leaf_order=arrays.meta.soup_leaf_order,
         )
         assert sbvh.n_nodes == arrays.wbvh_skip.shape[0]
         upd["wbvh_bounds6"] = jnp.asarray(

@@ -200,6 +200,10 @@ class SceneMeta:
     # True when the stitched scene BVH is the closest-hit path (soup larger
     # than the dense-intersector crossover, ops.intersect.DENSE_MAX_TRIS)
     has_scene_bvh: bool = False
+    # True when the world soup is laid out in BLAS-leaf order and carries
+    # cluster/supercluster AABBs (the clustered Pallas intersector's input
+    # contract — accel.clusters, kernels.intersect_pallas)
+    soup_leaf_order: bool = False
     # material types present in the scene: the BSDF dispatchers only compile
     # the lobes a scene actually uses (an all-matte scene skips the whole
     # microfacet/glass machinery — the reference's per-thread switch costs
@@ -240,6 +244,12 @@ class SceneArrays:
     world_tri_inst: jax.Array  # (TW,) i32, -1 = padding
     world_tri_mat: jax.Array   # (TW,) i32
     world_tri_prim: jax.Array  # (TW,) i32 — object-space global triangle id
+    # clustered-intersector metadata (meta.soup_leaf_order scenes only;
+    # (1, 8) placeholders otherwise). Per 256-triangle soup cluster /
+    # 16-cluster supercluster: [lox loy loz hix hiy hiz inst_min inst_max]
+    # with conservatively inflated AABBs (accel.clusters)
+    world_cluster_bounds: jax.Array  # (C, 8) f32
+    world_sclust_bounds: jax.Array   # (C/16, 8) f32
     # stitched two-level scene BVH (accel.bvh.build_scene_bvh): TLAS
     # hierarchy over instances + world-transformed BLAS subtrees, one flat
     # skip-linked array — the traversal form of the reference IntersectTLAS
@@ -383,24 +393,47 @@ class Scene:
         cam_proj = np.stack([c.projection for c in self.cameras])
 
         # world-space triangle soup for the dense intersector
+        from svgf_tpu.ops.intersect import DENSE_MAX_TRIS as _DENSE_MAX
+
+        total_world = sum(
+            self.shapes[i.shape].n_triangles for i in self.instances
+        )
+        # Large scenes: lay each instance's triangles out in BLAS-leaf (DFS)
+        # order, so consecutive soup columns are spatially local — the
+        # clustered Pallas intersector (kernels.intersect_pallas) cuts the
+        # soup into CLUSTER_TRIS-column clusters whose AABBs gate all DMA and
+        # compute. Small scenes keep the original order (dense path is
+        # order-insensitive; keeps nearest-hit tie-breaks/goldens stable).
+        soup_leaf_order = total_world > _DENSE_MAX
         ws9, ws_inst, ws_mat, ws_prim, inst_ws = [], [], [], [], []
         cursor = 0
         for i, inst in enumerate(self.instances):
             sh = self.shapes[inst.shape]
             t = np.asarray(inst.transform, np.float64)
             pw = sh.tri_pos.astype(np.float64) @ t[:3, :3].T + t[:3, 3]  # (F,3,3)
+            prim = np.arange(sh.n_triangles, dtype=np.int32)
+            if soup_leaf_order:
+                order = sh.blas.tri_order.astype(np.int64)
+                pw = pw[order]
+                prim = prim[order]
             ws9.append(pw.reshape(pw.shape[0], 9).T.astype(np.float32))
             n = sh.n_triangles
             ws_inst.append(np.full(n, i, np.int32))
             ws_mat.append(np.full(n, inst.material, np.int32))
-            ws_prim.append(
-                np.arange(n, dtype=np.int32) + int(flat.shape_tri_start[inst.shape])
-            )
+            ws_prim.append(prim + int(flat.shape_tri_start[inst.shape]))
             inst_ws.append((cursor, n))
             cursor += n
         world9 = np.concatenate(ws9, axis=1) if ws9 else np.zeros((9, 0), np.float32)
         tw = world9.shape[1]
-        tw_pad = max(128, -(-tw // 128) * 128)
+        if soup_leaf_order:
+            # pad to a full (supercluster x cluster) grid for the clustered
+            # intersector; padding clusters have never-hit bounds
+            from svgf_tpu.accel.clusters import CLUSTER_TRIS, SUPER_CLUSTERS
+
+            grain = CLUSTER_TRIS * SUPER_CLUSTERS
+            tw_pad = max(grain, -(-tw // grain) * grain)
+        else:
+            tw_pad = max(128, -(-tw // 128) * 128)
         pad = tw_pad - tw
         world9 = np.pad(world9, ((0, 0), (0, pad)))
         w_inst = np.pad(np.concatenate(ws_inst) if ws_inst else np.zeros(0, np.int32),
@@ -409,11 +442,19 @@ class Scene:
                        (0, pad))
         w_prim = np.pad(np.concatenate(ws_prim) if ws_prim else np.zeros(0, np.int32),
                         (0, pad))
+        if soup_leaf_order:
+            from svgf_tpu.accel.clusters import compute_cluster_bounds
+
+            cb_np, sb_np = compute_cluster_bounds(world9, w_inst)
+        else:
+            cb_np = np.zeros((1, 8), np.float32)
+            sb_np = np.zeros((1, 8), np.float32)
 
         # per-instance world AABBs (8-corner transform of the BLAS root box,
         # reference scene::CalculateInstanceTransform, Scene.cpp:355-373)
         from svgf_tpu.accel.bvh import _transform_aabbs, build_scene_bvh
-        from svgf_tpu.ops.intersect import DENSE_MAX_TRIS
+
+        DENSE_MAX_TRIS = _DENSE_MAX
 
         if self.instances:
             roots_lo = np.stack(
@@ -442,6 +483,7 @@ class Scene:
                 np.stack([np.asarray(i.transform, np.float32) for i in self.instances]),
                 [s.blas for s in self.shapes],
                 np.asarray([r[0] for r in inst_ws], np.int32),
+                soup_leaf_order=soup_leaf_order,
             )
             wbvh_bounds6 = np.concatenate([sbvh.node_min.T, sbvh.node_max.T], axis=0)
             wbvh_skip = sbvh.skip
@@ -497,6 +539,7 @@ class Scene:
             has_normal_maps=tex_on
             and any(m.normal_texture >= 0 for m in self.materials),
             has_scene_bvh=has_scene_bvh,
+            soup_leaf_order=soup_leaf_order,
             mat_types_used=tuple(
                 sorted({int(m.material_type) for m in self.materials})
             ) or (0,),
@@ -537,6 +580,8 @@ class Scene:
             world_tri_inst=i32(w_inst),
             world_tri_mat=i32(w_mat),
             world_tri_prim=i32(w_prim),
+            world_cluster_bounds=f32(cb_np),
+            world_sclust_bounds=f32(sb_np),
             wbvh_bounds6=f32(wbvh_bounds6),
             wbvh_skip=i32(wbvh_skip),
             wbvh_leaf_tri=i32(wbvh_leaf),

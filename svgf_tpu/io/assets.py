@@ -1,4 +1,9 @@
-"""Asset dispatch by extension (reference AssetLoader.cpp:11-56)."""
+"""Asset dispatch by extension (reference AssetLoader.cpp:11-56).
+
+Mesh formats: glTF/GLB (own materials + instances), OBJ, PLY (ascii/binary),
+STL (ascii/binary), OFF — the Assimp-breadth surface the reference reaches
+through AssimpLoader.cpp:171-192 — plus the reference's binary .scene format
+(io.binscene)."""
 
 from __future__ import annotations
 
@@ -19,10 +24,25 @@ def load_asset(path: str, scene: Scene, material: int = 0,
         from svgf_tpu.io.gltf import load_gltf
 
         return load_gltf(path, scene)
+    mesh_loaders = None
     if low.endswith(".obj"):
         from svgf_tpu.io.objloader import load_obj
 
-        shape = load_obj(path)
+        mesh_loaders = load_obj
+    elif low.endswith(".ply"):
+        from svgf_tpu.io.plyloader import load_ply
+
+        mesh_loaders = load_ply
+    elif low.endswith(".stl"):
+        from svgf_tpu.io.stlloader import load_stl
+
+        mesh_loaders = load_stl
+    elif low.endswith(".off"):
+        from svgf_tpu.io.stlloader import load_off
+
+        mesh_loaders = load_off
+    if mesh_loaders is not None:
+        shape = mesh_loaders(path)
         scene.shapes.append(shape)
         scene.instances.append(
             Instance(

@@ -68,10 +68,7 @@ def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
             comp = [
                 jnp.transpose(tri_ref[k, sl][None, :], (1, 0)) for k in range(9)
             ]
-            (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = comp
             val = jnp.transpose(valid_ref[0, sl][None, :], (1, 0)) > 0.5
-            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
 
             def sub(s, _):
                 rows = pl.ds(s * _RS, _RS)
@@ -79,43 +76,9 @@ def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
 
                 @pl.when(live)
                 def _go():
-                    rox = ro_ref[0:1, rows]
-                    roy = ro_ref[1:2, rows]
-                    roz = ro_ref[2:3, rows]
-                    rdx = rd_ref[0:1, rows]
-                    rdy = rd_ref[1:2, rows]
-                    rdz = rd_ref[2:3, rows]
-                    # h = rd x e2 -> (tc, RS)
-                    hx = rdy * e2z - rdz * e2y
-                    hy = rdz * e2x - rdx * e2z
-                    hz = rdx * e2y - rdy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    parallel = jnp.abs(a) < 1e-8
-                    f = 1.0 / jnp.where(parallel, 1.0, a)
-                    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-                    u = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = f * (rdx * qx + rdy * qy + rdz * qz)
-                    t = f * (e2x * qx + e2y * qy + e2z * qz)
-                    hit = (
-                        (~parallel) & (u >= 0) & (u <= 1) & (v >= 0)
-                        & (u + v <= 1) & (t > 1e-8) & val
+                    tmin, uc, vc, ic, _ = _mt_rows(
+                        comp, val, ro_ref, rd_ref, rows, c * tc
                     )
-                    t = jnp.where(hit, t, MAX_LENGTH)
-
-                    tmin = jnp.min(t, axis=0, keepdims=True)      # (1, RS)
-                    srow = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                    first = jnp.min(
-                        jnp.where(t == tmin, srow, jnp.int32(2 ** 30)),
-                        axis=0, keepdims=True,
-                    )
-                    sel = srow == first
-                    uc = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-                    vc = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-                    ic = (first + c * tc).astype(jnp.float32)
-
                     bt = out_ref[0:1, rows]
                     closer = tmin < bt
                     out_ref[0:1, rows] = jnp.where(closer, tmin, bt)
@@ -173,6 +136,373 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
     )(tris9, valid.reshape(1, T), ro_t, rd_t, ta)
 
     return out[0, :R], out[1, :R], out[2, :R], out[3, :R].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Clustered intersector — large scenes (> ops.intersect.DENSE_MAX_TRIS)
+# ---------------------------------------------------------------------------
+#
+# The reference walks a per-ray two-level BVH with a divergent 64-deep stack
+# (PathTrace.cuh:90-142, Common.cuh:550-620). The TPU form (accel.clusters):
+# the BLAS-leaf-ordered soup is cut into 256-triangle clusters and
+# 16-cluster superclusters with conservative AABBs; per 4096-ray tile the
+# kernel slab-tests every ray against every supercluster (vectorized,
+# clusters on sublanes x rays on lanes — full (8,128) tiling), descends only
+# into hit superclusters, re-tests their 16 clusters, and DMAs + MT-tests
+# only clusters some ray can still hit (tnear <= current best t). Triangles
+# stay in HBM; VMEM holds one cluster at a time — the working set is O(1)
+# in scene size, so this scales to ~1M triangles (clusters.MAX_CLUSTERS).
+#
+# The kernel also RETURNS the winning triangle's 9 vertex floats and its
+# (prim, instance, material) ids: for tables this size the XLA row-gather is
+# scalar-slow and the MXU one-hot trick stops paying (ops.gather), but the
+# winner's data is already VMEM-resident when it wins — a masked select-sum
+# per improving chunk is nearly free.
+
+_SLAB_EPS = 1e-30  # |rd| floor: keeps 1/rd finite, slab test conservative
+
+# rays per clustered grid step: one 32x64-pixel block (render.pathtrace
+# BLOCK_H/W) — smaller than the dense kernel's _RT because the per-tile
+# frustum (and so the live-cluster count) shrinks with the tile, and the
+# Mosaic program size scales with the unrolled subtile count.
+_CRT = 2048
+
+
+def _mt_rows(comp, val, ro_ref, rd_ref, rows, base_col):
+    """Moller-Trumbore of one (tc, 1)-component triangle chunk against the
+    ray lanes `rows`. Returns (tmin (1,RS), uc, vc, ic, sel (tc,RS), hit any).
+    Same math/selection as the dense kernel (Common.cuh:509-536 + nearest
+    hit with first-minimum tie-break)."""
+    (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = comp
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    rox = ro_ref[0:1, rows]
+    roy = ro_ref[1:2, rows]
+    roz = ro_ref[2:3, rows]
+    rdx = rd_ref[0:1, rows]
+    rdy = rd_ref[1:2, rows]
+    rdz = rd_ref[2:3, rows]
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = jnp.abs(a) < 1e-8
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (rdx * qx + rdy * qy + rdz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    hit = (
+        (~parallel) & (u >= 0) & (u <= 1) & (v >= 0)
+        & (u + v <= 1) & (t > 1e-8) & val
+    )
+    t = jnp.where(hit, t, MAX_LENGTH)
+    tmin = jnp.min(t, axis=0, keepdims=True)
+    srow = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    first = jnp.min(
+        jnp.where(t == tmin, srow, jnp.int32(2 ** 30)), axis=0, keepdims=True
+    )
+    sel = srow == first
+    uc = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+    vc = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+    ic = (first + base_col).astype(jnp.float32)
+    return tmin, uc, vc, ic, sel
+
+
+def _slab_hits(b_lo, b_hi, ro_rows, inv_rows, act_row, tbest_row):
+    """(K, RS) conservative ray-vs-AABB hits. b_lo/b_hi: 3 columns (K, 1);
+    ro_rows/inv_rows: 3 rows (1, RS) each. Also requires the box to be
+    reachable before each ray's current best t (kills the 1e30 point boxes
+    of empty/padding clusters)."""
+    tnear = None
+    tfar = None
+    for k in range(3):
+        t1 = (b_lo[k] - ro_rows[k]) * inv_rows[k]
+        t2 = (b_hi[k] - ro_rows[k]) * inv_rows[k]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        tnear = lo if tnear is None else jnp.maximum(tnear, lo)
+        tfar = hi if tfar is None else jnp.minimum(tfar, hi)
+    return (tnear <= tfar) & (tfar >= 0.0) & (tnear <= tbest_row) & act_row
+
+
+def _kernel_clustered(cb_ref, sb_ref, oi_ref, pk_hbm,
+                      ro_ref, rd_ref, ta_ref, out_ref,
+                      invd, scm, clm, tscr, sem,
+                      *, n_sc, rt):
+    """One 4096-ray tile against the clustered soup (see module section).
+
+    cb_ref: (C, 8) cluster bounds [lo3 hi3 inst_min inst_max] (VMEM)
+    sb_ref: (C2, 8) supercluster bounds (VMEM)
+    oi_ref: (1, 1) i32 SMEM — only_instance or -1
+    pk_hbm: (16, T) HBM — rows 0-8 tri verts, 9 valid, 10 prim, 11 inst,
+        12 mat, 13-15 zero pad. 16 rows so the dynamic-offset cluster DMA is
+        (8,128)-tile aligned (Mosaic requires 8-aligned sublane shape).
+    out_ref: (16, RT) — [t u v col | v0xyz v1xyz v2xyz | prim inst mat]
+    """
+    from svgf_tpu.accel.clusters import CLUSTER_TRIS as _CL
+    from svgf_tpu.accel.clusters import SUPER_CLUSTERS as _SCN
+
+    n_sub = rt // _RS
+    out_ref[0:1, :] = ta_ref[0:1, :]
+    out_ref[1:16, :] = jnp.zeros((15, rt), jnp.float32)
+    live_tile = jnp.any(ta_ref[1, :] > 0.0)
+
+    @pl.when(live_tile)
+    def _live():
+        oi = oi_ref[0, 0]
+        oi_f = oi.astype(jnp.float32)
+        for k in range(3):
+            d = rd_ref[k : k + 1, :]
+            d = jnp.where(
+                jnp.abs(d) < _SLAB_EPS,
+                jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS),
+                d,
+            )
+            invd[k : k + 1, :] = 1.0 / d
+
+        def inst_ok(lo_col, hi_col):
+            # cluster can contain only_instance (or no restriction)
+            return (oi < 0) | ((lo_col <= oi_f) & (hi_col >= oi_f))
+
+        # ---- supercluster pass: (C2, RS) per subtile, fully vectorized ----
+        sb_lo = [sb_ref[:, k : k + 1] for k in range(3)]
+        sb_hi = [sb_ref[:, 3 + k : 4 + k] for k in range(3)]
+        s_ok = inst_ok(sb_ref[:, 6:7], sb_ref[:, 7:8])
+        for s in range(n_sub):
+            rows = slice(s * _RS, (s + 1) * _RS)
+            ro_rows = [ro_ref[k : k + 1, rows] for k in range(3)]
+            inv_rows = [invd[k : k + 1, rows] for k in range(3)]
+            hits = _slab_hits(
+                sb_lo, sb_hi, ro_rows, inv_rows,
+                ta_ref[1:2, rows] > 0.0, out_ref[0:1, rows],
+            ) & s_ok
+            scm[:, s : s + 1] = jnp.any(hits, axis=1, keepdims=True).astype(
+                jnp.float32
+            )
+
+        # ---- descend into hit superclusters ----
+        def sc_body(s2, _):
+            sc_hit = jnp.any(scm[pl.ds(s2, 1), :] > 0.0)
+
+            @pl.when(sc_hit)
+            def _sc():
+                base = s2 * _SCN
+                cb_lo = [cb_ref[pl.ds(base, _SCN), k : k + 1] for k in range(3)]
+                cb_hi = [
+                    cb_ref[pl.ds(base, _SCN), 3 + k : 4 + k] for k in range(3)
+                ]
+                c_ok = inst_ok(
+                    cb_ref[pl.ds(base, _SCN), 6:7],
+                    cb_ref[pl.ds(base, _SCN), 7:8],
+                )
+                for s in range(n_sub):
+                    rows = slice(s * _RS, (s + 1) * _RS)
+                    ro_rows = [ro_ref[k : k + 1, rows] for k in range(3)]
+                    inv_rows = [invd[k : k + 1, rows] for k in range(3)]
+                    hits = _slab_hits(
+                        cb_lo, cb_hi, ro_rows, inv_rows,
+                        ta_ref[1:2, rows] > 0.0, out_ref[0:1, rows],
+                    ) & c_ok
+                    clm[:, s : s + 1] = jnp.any(
+                        hits, axis=1, keepdims=True
+                    ).astype(jnp.float32)
+
+                def cl_body(k2, _):
+                    cl_hit = jnp.any(clm[pl.ds(k2, 1), :] > 0.0)
+
+                    @pl.when(cl_hit)
+                    def _cl():
+                        c = base + k2
+                        cp = pltpu.make_async_copy(
+                            pk_hbm.at[:, pl.ds(c * _CL, _CL)], tscr, sem
+                        )
+                        cp.start()
+                        cp.wait()
+                        comp = [
+                            jnp.transpose(tscr[k, :][None, :], (1, 0))
+                            for k in range(9)
+                        ]
+                        val = jnp.transpose(tscr[9, :][None, :], (1, 0)) > 0.5
+                        if_oi = (oi < 0) | (
+                            jnp.transpose(tscr[11, :][None, :], (1, 0)) == oi_f
+                        )
+                        val = val & if_oi
+                        ids = [
+                            jnp.transpose(tscr[k, :][None, :], (1, 0))
+                            for k in (10, 11, 12)
+                        ]
+                        for s in range(n_sub):
+                            sub_hit = jnp.any(clm[pl.ds(k2, 1), s : s + 1] > 0.0)
+
+                            @pl.when(sub_hit)
+                            def _go(s=s):
+                                rows = pl.ds(s * _RS, _RS)
+                                tmin, uc, vc, ic, sel = _mt_rows(
+                                    comp, val, ro_ref, rd_ref, rows,
+                                    (c * _CL).astype(jnp.int32),
+                                )
+                                bt = out_ref[0:1, rows]
+                                closer = tmin < bt
+                                any_closer = jnp.any(closer)
+
+                                @pl.when(any_closer)
+                                def _upd():
+                                    out_ref[0:1, rows] = jnp.where(
+                                        closer, tmin, bt
+                                    )
+                                    out_ref[1:2, rows] = jnp.where(
+                                        closer, uc, out_ref[1:2, rows]
+                                    )
+                                    out_ref[2:3, rows] = jnp.where(
+                                        closer, vc, out_ref[2:3, rows]
+                                    )
+                                    out_ref[3:4, rows] = jnp.where(
+                                        closer, ic, out_ref[3:4, rows]
+                                    )
+                                    for j, cj in enumerate(comp + ids):
+                                        r = 4 + j
+                                        wv = jnp.sum(
+                                            jnp.where(sel, cj, 0.0),
+                                            axis=0, keepdims=True,
+                                        )
+                                        out_ref[r : r + 1, rows] = jnp.where(
+                                            closer, wv, out_ref[r : r + 1, rows]
+                                        )
+                    return 0
+
+                jax.lax.fori_loop(0, _SCN, cl_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_sc, sc_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _intersect_rays_clustered(packed16, cb, sb, only_inst, ro, rd, t0, act,
+                              interpret=False):
+    """Nearest valid hit per ray over the clustered soup. packed16: (16, T)
+    [v0-v2 xyz | valid prim inst mat | pad] f32. Returns (t, u, v, col,
+    w9 (9, R), prim, inst, mat) — winner attributes included (see module
+    section). only_inst: traced i32 scalar, -1 = all."""
+    from svgf_tpu.accel.clusters import CLUSTER_TRIS as _CL
+    from svgf_tpu.accel.clusters import SUPER_CLUSTERS as _SCN
+
+    T = packed16.shape[1]
+    C = cb.shape[0]
+    C2 = sb.shape[0]
+    assert T == C * _CL and C == C2 * _SCN, (T, C, C2)
+    R = ro.shape[0]
+    pad = (-R) % _CRT
+    ro_t = ro.T
+    rd_t = rd.T
+    ta = jnp.stack([t0, act])
+    if pad:
+        ro_t = jnp.concatenate([ro_t, jnp.zeros((3, pad), ro.dtype)], axis=1)
+        rd_t = jnp.concatenate([rd_t, jnp.ones((3, pad), rd.dtype)], axis=1)
+        ta = jnp.concatenate([ta, jnp.zeros((2, pad), ta.dtype)], axis=1)
+    Rp = ro_t.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_clustered, n_sc=C2, rt=_CRT),
+        grid=(Rp // _CRT,),
+        in_specs=[
+            pl.BlockSpec((C, 8), lambda i: (0, 0)),
+            pl.BlockSpec((C2, 8), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((3, _CRT), lambda i: (0, i)),
+            pl.BlockSpec((3, _CRT), lambda i: (0, i)),
+            pl.BlockSpec((2, _CRT), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((16, _CRT), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, _CRT), jnp.float32),      # inv ray dirs
+            pltpu.VMEM((C2, 8), jnp.float32),       # supercluster hit mask
+            pltpu.VMEM((_SCN, 8), jnp.float32),     # cluster hit mask
+            pltpu.VMEM((16, _CL), jnp.float32),     # packed cluster chunk
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cb, sb, jnp.reshape(only_inst.astype(jnp.int32), (1, 1)),
+      packed16, ro_t, rd_t, ta)
+
+    return (
+        out[0, :R], out[1, :R], out[2, :R], out[3, :R].astype(jnp.int32),
+        out[4:13, :R], out[13, :R].astype(jnp.int32),
+        out[14, :R].astype(jnp.int32), out[15, :R].astype(jnp.int32),
+    )
+
+
+def intersect_clustered_pallas(scene, ro, rd, active=None, any_hit=False,
+                               tmax=None, only_instance=None, interpret=False):
+    """Large-scene Pallas intersector (meta.soup_leaf_order scenes).
+
+    Drop-in for ops.intersect.intersect_scene's closest-hit contract. The
+    hit's t/u/v are recomputed in plain JAX from the winning triangle so they
+    stay differentiable w.r.t. the RAY (camera pose); vertex-position
+    gradients are cut by design here (the winner's geometry comes out of the
+    kernel) — PARITY.md documents the deviation for > DENSE_MAX_TRIS scenes.
+    """
+    from svgf_tpu.ops.intersect import Hit
+    from svgf_tpu.ops.geometry import ray_triangle_comp_raw
+
+    R = ro.shape[0]
+    t0 = jnp.full((R,), MAX_LENGTH, jnp.float32)
+    if tmax is not None:
+        t0 = jnp.broadcast_to(tmax, (R,)).astype(jnp.float32)
+    act = (
+        jnp.ones((R,), jnp.float32)
+        if active is None
+        else active.astype(jnp.float32)
+    )
+    oi = jnp.asarray(-1 if only_instance is None else only_instance, jnp.int32)
+
+    # one (16, T) packed array: aligned single-DMA clusters (XLA CSEs this
+    # concat across the several intersect calls of one jitted frame)
+    T = scene.world_tris9.shape[1]
+    packed16 = jnp.concatenate(
+        [
+            scene.world_tris9,
+            (scene.world_tri_inst >= 0).astype(jnp.float32)[None],
+            scene.world_tri_prim.astype(jnp.float32)[None],
+            scene.world_tri_inst.astype(jnp.float32)[None],
+            scene.world_tri_mat.astype(jnp.float32)[None],
+            jnp.zeros((3, T), jnp.float32),
+        ]
+    )
+    tb, _, _, _, w9, prim_id, inst_id, mat_id = _intersect_rays_clustered(
+        jax.lax.stop_gradient(packed16),
+        jax.lax.stop_gradient(scene.world_cluster_bounds),
+        jax.lax.stop_gradient(scene.world_sclust_bounds),
+        oi,
+        jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
+        t0, act, interpret=interpret,
+    )
+    ok = tb < t0
+    roc = (ro[:, 0], ro[:, 1], ro[:, 2])
+    rdc = (rd[:, 0], rd[:, 1], rd[:, 2])
+    t2, u2, v2 = ray_triangle_comp_raw(
+        roc, rdc, (w9[0], w9[1], w9[2]), (w9[3], w9[4], w9[5]),
+        (w9[6], w9[7], w9[8])
+    )
+    hit = Hit(
+        dist=jnp.where(ok, t2, t0),
+        u=jnp.where(ok, u2, 0.0),
+        v=jnp.where(ok, v2, 0.0),
+        prim=prim_id,
+        instance=jnp.where(ok, inst_id, 0),
+        material=mat_id,
+    )
+    if active is not None:
+        hit = hit._replace(dist=jnp.where(active, hit.dist, t0))
+    return hit
 
 
 def intersect_dense_pallas(scene, ro, rd, active=None, any_hit=False,

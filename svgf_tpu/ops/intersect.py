@@ -291,6 +291,23 @@ def intersect_scene(scene, ro, rd, active=None, any_hit: bool = False,
             )
         return intersect_dense(scene, ro, rd, active=active, any_hit=any_hit,
                                tmax=tmax, only_instance=only_instance)
+    if scene.meta.soup_leaf_order:
+        # large scenes: clustered Pallas intersector (two-level AABB culling
+        # over the BLAS-leaf-ordered soup, kernels.intersect_pallas) up to
+        # accel.clusters.MAX_CLUSTERS; XLA scene-BVH walk beyond/without Pallas
+        from svgf_tpu.accel.clusters import CLUSTER_TRIS, MAX_CLUSTERS
+        from svgf_tpu.kernels import resolve_pallas
+
+        on, interp = resolve_pallas(_PALLAS_MODE)
+        n_clusters = scene.world_tris9.shape[1] // CLUSTER_TRIS
+        if on and n_clusters <= MAX_CLUSTERS:
+            from svgf_tpu.kernels.intersect_pallas import (
+                intersect_clustered_pallas,
+            )
+            return intersect_clustered_pallas(
+                scene, ro, rd, active=active, any_hit=any_hit,
+                tmax=tmax, only_instance=only_instance, interpret=interp,
+            )
     R = ro.shape[0]
     hit = Hit.none((R,))
     if tmax is not None:

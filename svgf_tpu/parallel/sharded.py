@@ -147,6 +147,35 @@ def _row_halo_planes(planes, halo, axis_name):
     return jnp.concatenate([top, planes, bot], axis=1)
 
 
+def _interleave_a2a(axis: str, hs: int, w: int, n: int):
+    """Deterministic ray load-balancing reshard (SURVEY §2.7; VERDICT r3
+    item 7). Row-band shards have wildly uneven live-lane counts after
+    bounce 0 (measured on BaseScene: 98% imbalance at bounce 0, >400% later
+    — scripts/measure_balance.py): sky bands go dead while interior bands
+    stay hot. One all_to_all re-deals rows round-robin so every shard traces
+    every n-th GLOBAL row — a uniform sample of the image — then a second
+    all_to_all deals the radiance back. Data-independent (no sort, no
+    dynamic shapes), 2 collectives per frame, and per-pixel results are
+    bitwise unchanged (lane ids travel with the rays, RNG keys on them).
+
+    Returns (fwd, inv) over (hs*w, ...) lane arrays/trees."""
+
+    def fwd_leaf(x):
+        ch = x.shape[1:]
+        v = jnp.swapaxes(x.reshape((hs // n, n, w) + ch), 0, 1)
+        v = jax.lax.all_to_all(v, axis, 0, 0)
+        return v.reshape((hs * w,) + ch)
+
+    def inv_leaf(x):
+        ch = x.shape[1:]
+        v = x.reshape((n, hs // n, w) + ch)
+        v = jax.lax.all_to_all(v, axis, 0, 0)
+        return jnp.swapaxes(v, 0, 1).reshape((hs * w,) + ch)
+
+    return (lambda t: jax.tree.map(fwd_leaf, t),
+            lambda t: jax.tree.map(inv_leaf, t))
+
+
 def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
                 frame_idx, config: RenderConfig, axis: str):
     """One frame on one shard's row band. All image args are (Hs, W, ...)."""
@@ -183,6 +212,10 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
     key = jax.random.fold_in(jax.random.key(config.seed), frame_idx)
     lane0 = row0 * w
     lane_ids = jnp.uint32(lane0) + jnp.arange(hs * w, dtype=jnp.uint32)
+    balance = config.trace_balance and n > 1 and hs % n == 0
+    a2a_fwd, a2a_inv = (
+        _interleave_a2a(axis, hs, w, n) if balance else (None, None)
+    )
     radiance = jnp.zeros((hs * w, 3), jnp.float32)
     for s in range(config.tracing.batch):
         skey = jax.random.fold_in(key, s)
@@ -191,12 +224,19 @@ def _frame_body(scene, color, moments, history_len, taa_history, prev_gbuf,
         ro, rd = camera_rays(scene.cam_frame[cam], scene.cam_proj[cam], hs, w,
                              jitter=jitter, row0=row0, h_total=h_total)
         first_hit = gbuffer_first_hit(gbuf) if config.hybrid_primary else None
+        ids = lane_ids
+        if balance:
+            ro, rd, ids = a2a_fwd((ro, rd, lane_ids))
+            if first_hit is not None:
+                first_hit = a2a_fwd(first_hit)
         sample, _, _nr = pathtrace_chunked(
             scene, ro, rd, skey,
             bounces=config.tracing.bounces, clamp=config.tracing.clamp,
             mode=config.tracing.sampling_mode, first_hit=first_hit,
-            num_chunks=config.trace_chunks, lane0=lane0,
+            num_chunks=config.trace_chunks, lane_ids=ids,
         )
+        if balance:
+            sample = a2a_inv(sample)
         radiance = radiance + sample / config.tracing.batch
     radiance = radiance.reshape(hs, w, 3)
 

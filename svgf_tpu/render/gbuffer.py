@@ -116,14 +116,17 @@ def _gbuffer_rays(scene, frame, prev_frame, proj, ro, rd, h_total, w_total):
 
 
 def raster_gbuffer(scene, cam_idx: int, h: int, w: int, row0=0, h_total=None,
-                   col0=0, w_total=None, num_chunks: int = 1) -> GBuffer:
+                   col0=0, w_total=None, num_chunks: int = 1,
+                   block: bool = False) -> GBuffer:
     """Trace primary visibility and fill every G-buffer channel.
 
     row0/h_total (and col0/w_total) render only the pixel rectangle
-    [row0, row0+h) x [col0, col0+w) of the full image (sharded mesh path).
+    [row0, row0+r) x [col0, col0+w) of the full image (sharded mesh path).
     num_chunks > 1 processes the rays in sequential chunks (lax.map) — the
     per-chunk lane count keeps the attribute gathers on the MXU one-hot path
-    (ops.gather) at full-frame sizes."""
+    (ops.gather) at full-frame sizes. `block` reorders rays into BLOCK_H x BLOCK_W pixel
+    blocks for the clustered large-scene intersector's tile culling
+    (render.pathtrace.make_block_order)."""
     if h_total is None:
         h_total = h
     if w_total is None:
@@ -133,6 +136,12 @@ def raster_gbuffer(scene, cam_idx: int, h: int, w: int, row0=0, h_total=None,
     proj = scene.cam_proj[cam_idx]
     ro, rd = camera_rays(frame, proj, h, w, row0=row0, h_total=h_total,
                          col0=col0, w_total=w_total)
+    unblock = None
+    if block:
+        from svgf_tpu.render.pathtrace import make_block_order
+
+        fwd, unblock, _ = make_block_order(h, w)
+        ro, rd = fwd(ro), fwd(rd)
     R = ro.shape[0]
     if num_chunks > 1:
         rc = -(-R // num_chunks)
@@ -156,6 +165,11 @@ def raster_gbuffer(scene, cam_idx: int, h: int, w: int, row0=0, h_total=None,
     else:
         pos, nrm, motion, z, uv, inst, prim, mat = _gbuffer_rays(
             scene, frame, prev_frame, proj, ro, rd, h_total, w_total
+        )
+
+    if unblock is not None:
+        pos, nrm, motion, z, uv, inst, prim, mat = jax.tree.map(
+            unblock, (pos, nrm, motion, z, uv, inst, prim, mat)
         )
 
     z = z.reshape(h, w)

@@ -207,6 +207,18 @@ def _volume_scatter(scene, state: PathState, dist, rng: RngStream):
     return pos, incoming, w, broke
 
 
+# Optional measurement probe: when set to a list (scripts/measure_balance.py
+# sets it around a traced call), pathtrace appends each bounce's post-RR
+# active mask — the raw data for the SURVEY §2.7 ray load-balance evidence
+# (live-lane imbalance across shard bands). None in production.
+_ACTIVE_PROBE: list | None = None
+
+
+def set_active_probe(lst) -> None:
+    global _ACTIVE_PROBE
+    _ACTIVE_PROBE = lst
+
+
 def pathtrace(
     scene,
     ro,
@@ -287,6 +299,8 @@ def pathtrace(
             jnp.isfinite(state.weight), axis=-1
         )
         state = state._replace(active=state.active & ~dead)
+        if _ACTIVE_PROBE is not None:
+            _ACTIVE_PROBE.append(state.active)
         if b + 1 < bounces:
             retrace = state.active & ~has_next
             traced = intersect_scene(scene, state.ro, state.rd, active=retrace)
@@ -310,6 +324,40 @@ def pathtrace(
     return radiance * scale[..., None], first_normal, nrays
 
 
+BLOCK_H, BLOCK_W = 32, 64  # 2048 px = one clustered-intersect ray tile (_CRT)
+
+
+def make_block_order(h: int, w: int, bh: int = BLOCK_H, bw: int = BLOCK_W):
+    """Lane reorder: row-major (h*w, ...) <-> (bh x bw)-pixel-block-major.
+
+    A full-width band of lanes of row-major lanes is TWO FULL IMAGE ROWS at
+    1080p — its ray frustum spans the whole scene, so the clustered
+    intersector's tile-level AABB culling (kernels.intersect_pallas) culls
+    almost nothing. Block-major lanes make each tile a compact pixel-block
+    frustum. Pure reshape/transpose (cheap TPU layout ops), edge-padded to
+    block multiples; padded lanes trace duplicate edge pixels and are
+    cropped by `inv`. Returns (fwd, inv, padded_lane_count)."""
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+
+    def fwd(x):
+        ch = x.shape[1:]
+        x2 = x.reshape((h, w) + ch)
+        x2 = jnp.pad(
+            x2, ((0, hp - h), (0, wp - w)) + ((0, 0),) * len(ch), mode="edge"
+        )
+        x2 = x2.reshape((hp // bh, bh, wp // bw, bw) + ch)
+        return jnp.moveaxis(x2, 1, 2).reshape((hp * wp,) + ch)
+
+    def inv(y):
+        ch = y.shape[1:]
+        y2 = y.reshape((hp // bh, wp // bw, bh, bw) + ch)
+        y2 = jnp.moveaxis(y2, 2, 1).reshape((hp, wp) + ch)
+        return y2[:h, :w].reshape((h * w,) + ch)
+
+    return fwd, inv, hp * wp
+
+
 def pathtrace_chunked(
     scene,
     ro,
@@ -322,6 +370,7 @@ def pathtrace_chunked(
     num_chunks: int = 1,
     lane0=0,
     lane_ids=None,
+    block_hw=None,
 ):
     """Run the wavefront in `num_chunks` sequential chunks via lax.map.
 
@@ -330,12 +379,28 @@ def pathtrace_chunked(
     processed as a pipeline of smaller wavefronts (the body compiles once).
     Chunk lanes carry their global lane ids, so the chunked result is
     BIT-IDENTICAL to the unchunked one (counter-based RNG).
+
+    block_hw=(h, w): lanes arrive row-major for an (h, w) image and are
+    re-ordered into BLOCK_H x BLOCK_W pixel blocks for ray locality (make_block_order;
+    the clustered large-scene intersector's tile culling depends on it).
+    Per-PIXEL results are unchanged (RNG keys on global pixel ids); the
+    edge-pad duplicate lanes do trace, so rays_traced counts them.
     """
     R = ro.shape[0]
     if lane_ids is None:
         lane_ids = jnp.uint32(lane0) + jnp.arange(R, dtype=jnp.uint32)
     else:
         lane_ids = lane_ids.astype(jnp.uint32)
+    if block_hw is not None:
+        bh_, bw_ = block_hw
+        assert bh_ * bw_ == R, (block_hw, R)
+        fwd, invf, _ = make_block_order(bh_, bw_)
+        rad, n, nr = pathtrace_chunked(
+            scene, fwd(ro), fwd(rd), key, bounces, clamp, mode,
+            None if first_hit is None else jax.tree.map(fwd, first_hit),
+            num_chunks, lane_ids=fwd(lane_ids),
+        )
+        return invf(rad), invf(n), nr
     if num_chunks <= 1:
         return pathtrace(scene, ro, rd, key, bounces, clamp, mode, first_hit,
                          lane_ids=lane_ids)

@@ -153,8 +153,12 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
     _isect.set_pallas_mode(config.use_pallas_intersect or config.use_pallas)
 
     # ---- 1. Rasterize (primary visibility) ----
+    # large scenes: pixel-block ray order so the clustered
+    # intersector's tile culling sees compact frusta (render.pathtrace)
+    blocked = scene.meta.soup_leaf_order
     with jax.named_scope("gbuffer"):
-        gbuf = raster_gbuffer(scene, cam, h, w, num_chunks=config.trace_chunks)
+        gbuf = raster_gbuffer(scene, cam, h, w, num_chunks=config.trace_chunks,
+                              block=blocked)
 
     # ---- 2. Trace (1spp x batch path tracing) ----
     key = jax.random.fold_in(jax.random.key(config.seed), state.frame_idx)
@@ -183,6 +187,7 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 mode=config.tracing.sampling_mode,
                 first_hit=first_hit,
                 num_chunks=config.trace_chunks,
+                block_hw=(h, w) if blocked else None,
             )
             radiance = radiance + sample / config.tracing.batch
             rays_traced = rays_traced + nr
