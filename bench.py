@@ -127,6 +127,16 @@ def main():
     from svgf_tpu.config import RenderConfig, SVGFConfig
     from svgf_tpu.render.pipeline import filter_chain
 
+    # persistent compile cache: the 1080p render_frame compile is ~3 min on
+    # the tunneled TPU backend; repeat runs (and the driver's run) are warm
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     w, h = 1920, 1080
     log(f"devices: {jax.devices()}")
 

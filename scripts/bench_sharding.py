@@ -18,6 +18,8 @@ import json
 import os
 import re
 import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"

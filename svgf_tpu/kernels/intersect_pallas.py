@@ -161,11 +161,11 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
 
 _SLAB_EPS = 1e-30  # |rd| floor: keeps 1/rd finite, slab test conservative
 
-# rays per clustered grid step: one 32x64-pixel block (render.pathtrace
-# BLOCK_H/W) — smaller than the dense kernel's _RT because the per-tile
-# frustum (and so the live-cluster count) shrinks with the tile, and the
-# Mosaic program size scales with the unrolled subtile count.
-_CRT = 2048
+# rays per clustered grid step: one 64x64-pixel block (render.pathtrace
+# BLOCK_H/W). Measured on the 104k-tri stress terrain: 4096-ray tiles beat
+# 2048 (17.6 vs 12.6 Mrays/s primary) — smaller tiles repeat the same
+# cluster DMAs across more tiles.
+_CRT = 4096
 
 
 def _mt_rows(comp, val, ro_ref, rd_ref, rows, base_col):
@@ -291,6 +291,14 @@ def _kernel_clustered(cb_ref, sb_ref, oi_ref, pk_hbm,
             @pl.when(sc_hit)
             def _sc():
                 base = s2 * _SCN
+                # ONE DMA for the whole supercluster's 16 clusters (128 KB):
+                # per-cluster copies serialize ~2.5 us DMA latency each and
+                # dominated the r4 first cut; bandwidth is negligible either
+                # way. The copy overlaps the cluster-mask slab pass below.
+                cp = pltpu.make_async_copy(
+                    pk_hbm.at[:, pl.ds(base * _CL, _SCN * _CL)], tscr, sem
+                )
+                cp.start()
                 cb_lo = [cb_ref[pl.ds(base, _SCN), k : k + 1] for k in range(3)]
                 cb_hi = [
                     cb_ref[pl.ds(base, _SCN), 3 + k : 4 + k] for k in range(3)
@@ -310,6 +318,7 @@ def _kernel_clustered(cb_ref, sb_ref, oi_ref, pk_hbm,
                     clm[:, s : s + 1] = jnp.any(
                         hits, axis=1, keepdims=True
                     ).astype(jnp.float32)
+                cp.wait()
 
                 def cl_body(k2, _):
                     cl_hit = jnp.any(clm[pl.ds(k2, 1), :] > 0.0)
@@ -317,22 +326,18 @@ def _kernel_clustered(cb_ref, sb_ref, oi_ref, pk_hbm,
                     @pl.when(cl_hit)
                     def _cl():
                         c = base + k2
-                        cp = pltpu.make_async_copy(
-                            pk_hbm.at[:, pl.ds(c * _CL, _CL)], tscr, sem
-                        )
-                        cp.start()
-                        cp.wait()
+                        sl = pl.ds(k2 * _CL, _CL)
                         comp = [
-                            jnp.transpose(tscr[k, :][None, :], (1, 0))
+                            jnp.transpose(tscr[k, sl][None, :], (1, 0))
                             for k in range(9)
                         ]
-                        val = jnp.transpose(tscr[9, :][None, :], (1, 0)) > 0.5
+                        val = jnp.transpose(tscr[9, sl][None, :], (1, 0)) > 0.5
                         if_oi = (oi < 0) | (
-                            jnp.transpose(tscr[11, :][None, :], (1, 0)) == oi_f
+                            jnp.transpose(tscr[11, sl][None, :], (1, 0)) == oi_f
                         )
                         val = val & if_oi
                         ids = [
-                            jnp.transpose(tscr[k, :][None, :], (1, 0))
+                            jnp.transpose(tscr[k, sl][None, :], (1, 0))
                             for k in (10, 11, 12)
                         ]
                         for s in range(n_sub):
@@ -423,7 +428,7 @@ def _intersect_rays_clustered(packed16, cb, sb, only_inst, ro, rd, t0, act,
             pltpu.VMEM((3, _CRT), jnp.float32),      # inv ray dirs
             pltpu.VMEM((C2, 8), jnp.float32),       # supercluster hit mask
             pltpu.VMEM((_SCN, 8), jnp.float32),     # cluster hit mask
-            pltpu.VMEM((16, _CL), jnp.float32),     # packed cluster chunk
+            pltpu.VMEM((16, _SCN * _CL), jnp.float32),  # packed supercluster
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

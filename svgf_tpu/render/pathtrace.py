@@ -324,7 +324,7 @@ def pathtrace(
     return radiance * scale[..., None], first_normal, nrays
 
 
-BLOCK_H, BLOCK_W = 32, 64  # 2048 px = one clustered-intersect ray tile (_CRT)
+BLOCK_H, BLOCK_W = 64, 64  # 4096 px = one clustered-intersect ray tile (_CRT)
 
 
 def make_block_order(h: int, w: int, bh: int = BLOCK_H, bw: int = BLOCK_W):

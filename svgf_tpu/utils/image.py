@@ -201,3 +201,44 @@ def read_image(path: str, *, as_float: bool = False) -> np.ndarray:
     if as_float:
         return img.astype(np.float32) / 255.0
     return img
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB over float images in [0, peak]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Mean SSIM (Wang et al. 2004), 8x8 uniform windows, per channel.
+
+    Plain-numpy implementation for the gallery-parity report (PARITY.md);
+    matches the standard constants C1=(0.01*peak)^2, C2=(0.03*peak)^2.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+
+    def blocks(x):
+        h, w, c = x.shape
+        hb, wb = h // 8, w // 8
+        return x[: hb * 8, : wb * 8].reshape(hb, 8, wb, 8, c)
+
+    ab, bb = blocks(a), blocks(b)
+    mu_a = ab.mean(axis=(1, 3))
+    mu_b = bb.mean(axis=(1, 3))
+    va = ab.var(axis=(1, 3))
+    vb = bb.var(axis=(1, 3))
+    cov = (ab * bb).mean(axis=(1, 3)) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return float(s.mean())
