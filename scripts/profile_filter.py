@@ -3,6 +3,7 @@ kernel vs packing/layout cost so the <6 ms optimization work targets the
 right line (VERDICT r3 item 3). Uses bench.py's steady-state inputs and
 timing methodology (K in-jit iterations, fetch barrier, min of reps)."""
 
+import os
 import sys
 import time
 
@@ -10,6 +11,12 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(__file__.rsplit("/", 2)[0], ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import make_bench_inputs, timed  # noqa: E402
 
@@ -53,9 +60,9 @@ def main():
         return ms
 
     log("== temporal ==")
-    t("pack_prev_planes", lambda v: pack_prev_planes(
+    t("pack_prev_planes", lambda v: v + pack_prev_planes(
         v, state.gbuffer, state.moments.astype(jnp.float32),
-        state.history_len)[0],
+        state.history_len)[0][..., None] * 0.0,
       state.color.astype(jnp.float32))
     tres = None
 
@@ -66,7 +73,7 @@ def main():
             normal_threshold=sv.normal_threshold,
             history_base_length=sv.history_length,
         )
-        return r.color
+        return r.color[..., :3]
     t("temporal kernel (pre-packed)", temporal_full, radiance)
 
     tres = jax.jit(lambda v: temporal_filter_pallas(

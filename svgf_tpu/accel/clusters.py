@@ -8,8 +8,9 @@ CLUSTER decomposition of the BVH instead (kernels.intersect_pallas):
   * the world soup is laid out in BLAS-leaf (DFS) order (core.scene.flatten),
     so a run of CLUSTER_TRIS consecutive soup columns is a spatially compact
     subtree of the SAH build — its AABB is tight;
-  * a cluster is 256 consecutive soup triangles, a supercluster is 16
-    consecutive clusters. Both carry conservatively inflated world AABBs;
+  * a cluster is CLUSTER_TRIS consecutive soup triangles, a supercluster is
+    SUPER_CLUSTERS consecutive clusters. Both carry conservatively inflated
+    world AABBs;
   * the kernel slab-tests every ray of a tile against supercluster, then
     cluster AABBs (fully vectorized, rays on lanes), and only DMAs + MT-tests
     the clusters some ray can actually hit. That is BVH culling re-expressed
@@ -18,8 +19,12 @@ CLUSTER decomposition of the BVH instead (kernels.intersect_pallas):
 Numerical contract: cluster AABBs are inflated by a relative+absolute margin
 so float slab arithmetic can never cull a triangle a ray would hit (the MT
 test inside the cluster remains exact). Empty (padding) clusters get the
-point-at-infinity box [1e30, 1e30] which always fails the `tnear <= t_best`
-test (t_best <= MAX_LENGTH = 1e30 < tnear ~ 1e32).
+point box [_EMPTY, _EMPTY] with _EMPTY = 2e30 STRICTLY greater than
+MAX_LENGTH = 1e30: the slab test's `tnear <= t_best` then provably fails
+(|tnear| >= _EMPTY * min|inv_rd| ~ 2e30 > t_best <= 1e30 for any |rd| <= 1,
+and negative-direction axes fail `tfar >= 0`), so padding clusters never
+trigger a wasted DMA/MT pass. (A 1e30 sentinel could tie t_best exactly for
+axis-aligned unit-direction rays and slip through.)
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ SUPER_CLUSTERS = 16   # clusters per supercluster
 # beyond that the XLA scene-BVH walk remains the fallback
 MAX_CLUSTERS = 8192
 
-_EMPTY = 1.0e30
+_EMPTY = 2.0e30  # > MAX_LENGTH so padding clusters provably fail the slab test
 
 
 def compute_cluster_bounds(world9: np.ndarray, w_inst: np.ndarray):
@@ -85,3 +90,30 @@ def compute_cluster_bounds(world9: np.ndarray, w_inst: np.ndarray):
     sb[:, 6] = g[:, :, 6].min(axis=1)
     sb[:, 7] = g[:, :, 7].max(axis=1)
     return cb, sb.astype(np.float32)
+
+
+def cluster_range_for_cols(start: int, count: int) -> tuple[int, int]:
+    """Supercluster-aligned cluster range [c0, c1) covering soup columns
+    [start, start+count) — the only clusters whose bounds can change when
+    those columns move (core.edits incremental transform updates)."""
+    grain = SUPER_CLUSTERS
+    c0 = (start // CLUSTER_TRIS) // grain * grain
+    c_end = -(-(start + count) // CLUSTER_TRIS)   # ceil: last touched cluster + 1
+    c1 = -(-c_end // grain) * grain
+    return c0, c1
+
+
+def compute_cluster_bounds_range(world9: np.ndarray, w_inst: np.ndarray,
+                                 start: int, count: int):
+    """Bounds for ONLY the clusters overlapping soup columns
+    [start, start+count). Returns (c0, c1, cb_rows (c1-c0, 8),
+    sb_rows ((c1-c0)/16, 8)) with c0/c1 supercluster-aligned, so the caller
+    can `.at[c0:c1].set(cb_rows)` / `.at[c0//16:c1//16].set(sb_rows)`.
+    world9/w_inst are the FULL host-side soup (a cheap host mirror; only the
+    [c0*CLUSTER_TRIS, c1*CLUSTER_TRIS) slice is read)."""
+    c0, c1 = cluster_range_for_cols(start, count)
+    lo_col, hi_col = c0 * CLUSTER_TRIS, c1 * CLUSTER_TRIS
+    cb, sb = compute_cluster_bounds(
+        world9[:, lo_col:hi_col], w_inst[lo_col:hi_col]
+    )
+    return c0, c1, cb, sb

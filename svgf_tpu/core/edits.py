@@ -115,15 +115,28 @@ def update_instance_transform(scene, arrays, index: int, transform):
         jnp.asarray(new9, f)
     )
     if arrays.meta.soup_leaf_order:
-        from svgf_tpu.accel.clusters import compute_cluster_bounds
+        from svgf_tpu.accel.clusters import SUPER_CLUSTERS, compute_cluster_bounds_range
 
-        w9 = np.array(arrays.world_tris9)  # writable host copy
-        w9[:, start : start + count] = new9
-        cb_np, sb_np = compute_cluster_bounds(
-            w9, np.asarray(arrays.world_tri_inst)
+        # host mirror of the world soup: built once (one device->host fetch),
+        # then kept in sync across edits — repeated full-soup transfers and
+        # full-cluster recomputes were the cost of the old path (ADVICE r4)
+        cache = getattr(scene, "_soup_host_cache", None)
+        if cache is None or cache["w9"].shape != arrays.world_tris9.shape:
+            cache = {
+                "w9": np.array(arrays.world_tris9),
+                "inst": np.asarray(arrays.world_tri_inst),
+            }
+            scene._soup_host_cache = cache
+        cache["w9"][:, start : start + count] = new9
+        c0, c1, cb_np, sb_np = compute_cluster_bounds_range(
+            cache["w9"], cache["inst"], start, count
         )
-        upd["world_cluster_bounds"] = jnp.asarray(cb_np, f)
-        upd["world_sclust_bounds"] = jnp.asarray(sb_np, f)
+        upd["world_cluster_bounds"] = arrays.world_cluster_bounds.at[c0:c1].set(
+            jnp.asarray(cb_np, f)
+        )
+        upd["world_sclust_bounds"] = arrays.world_sclust_bounds.at[
+            c0 // SUPER_CLUSTERS : c1 // SUPER_CLUSTERS
+        ].set(jnp.asarray(sb_np, f))
 
     lo, hi = _transform_aabbs(
         sh.blas.root_min[None], sh.blas.root_max[None], t.astype(np.float64)

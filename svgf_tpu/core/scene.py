@@ -245,8 +245,9 @@ class SceneArrays:
     world_tri_mat: jax.Array   # (TW,) i32
     world_tri_prim: jax.Array  # (TW,) i32 — object-space global triangle id
     # clustered-intersector metadata (meta.soup_leaf_order scenes only;
-    # (1, 8) placeholders otherwise). Per 256-triangle soup cluster /
-    # 16-cluster supercluster: [lox loy loz hix hiy hiz inst_min inst_max]
+    # (1, 8) placeholders otherwise). Per CLUSTER_TRIS-triangle soup cluster /
+    # SUPER_CLUSTERS-cluster supercluster (accel.clusters constants):
+    # [lox loy loz hix hiy hiz inst_min inst_max]
     # with conservatively inflated AABBs (accel.clusters)
     world_cluster_bounds: jax.Array  # (C, 8) f32
     world_sclust_bounds: jax.Array   # (C/16, 8) f32

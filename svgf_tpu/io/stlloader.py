@@ -56,22 +56,43 @@ def load_stl(path: str, name: str | None = None) -> Shape:
 
 
 def load_off(path: str, name: str | None = None) -> Shape:
-    """Object File Format: counts line, V vertex lines, F polygon lines."""
+    """Object File Format: counts line, V vertex lines, F polygon lines.
+
+    Handles the common header variants: counts on the 'OFF' line itself
+    ('OFF 8 6 12'), COFF/NOFF-style leading keywords, and per-vertex
+    color/extra fields (vertices are parsed line-by-line taking the first
+    3 floats, so trailing fields cannot shift the face records).
+    """
+    lines: list[list[str]] = []
     with open(path) as f:
-        toks: list = []
-        for line in f:
-            line = line.split("#", 1)[0].strip()
-            if line and line != "OFF":
-                toks.extend(line.split())
-    nv, nf = int(toks[0]), int(toks[1])
-    cur = 3
-    pos = np.asarray(toks[cur : cur + 3 * nv], np.float64).reshape(nv, 3)
-    cur += 3 * nv
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if line:
+                lines.append(line.split())
+    if not lines:
+        raise ValueError(f"{path}: empty OFF file")
+    # header: strip a leading [C|N|ST]OFF keyword, with or without counts after
+    head = lines[0]
+    if head[0].upper().endswith("OFF"):
+        head = head[1:]
+        if not head:                # counts on the next line
+            lines = lines[1:]
+            head = lines[0]
+        else:
+            lines[0] = head
+    nv, nf = int(head[0]), int(head[1])
+    body = lines[1:]
+    if len(body) < nv + nf:
+        raise ValueError(f"{path}: expected {nv} vertices + {nf} faces, "
+                         f"got {len(body)} records")
+    pos = np.asarray(
+        [[float(t) for t in body[i][:3]] for i in range(nv)], np.float64
+    )
     faces = []
-    for _ in range(nf):
-        n = int(toks[cur])
-        idx = [int(t) for t in toks[cur + 1 : cur + 1 + n]]
-        cur += 1 + n
+    for i in range(nv, nv + nf):
+        toks = body[i]
+        n = int(toks[0])
+        idx = [int(t) for t in toks[1 : 1 + n]]
         for k in range(1, n - 1):
             faces.append([idx[0], idx[k], idx[k + 1]])
     return Shape(

@@ -144,8 +144,9 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
 #
 # The reference walks a per-ray two-level BVH with a divergent 64-deep stack
 # (PathTrace.cuh:90-142, Common.cuh:550-620). The TPU form (accel.clusters):
-# the BLAS-leaf-ordered soup is cut into 256-triangle clusters and
-# 16-cluster superclusters with conservative AABBs; per 4096-ray tile the
+# the BLAS-leaf-ordered soup is cut into accel.clusters.CLUSTER_TRIS-triangle
+# clusters and SUPER_CLUSTERS-cluster superclusters with conservative AABBs;
+# per 4096-ray tile the
 # kernel slab-tests every ray against every supercluster (vectorized,
 # clusters on sublanes x rays on lanes — full (8,128) tiling), descends only
 # into hit superclusters, re-tests their 16 clusters, and DMAs + MT-tests
@@ -448,6 +449,13 @@ def _intersect_rays_clustered(packed16, cb, sb, only_inst, ro, rd, t0, act,
 def intersect_clustered_pallas(scene, ro, rd, active=None, any_hit=False,
                                tmax=None, only_instance=None, interpret=False):
     """Large-scene Pallas intersector (meta.soup_leaf_order scenes).
+
+    `any_hit` degrades to closest-hit here (results remain correct for
+    occlusion tests — a closest hit IS a hit): per-lane early exit would
+    only prune tiles whose EVERY ray has already hit, and the cluster
+    `tnear <= t_best` cull already shrinks the search to the found-hit
+    distance. No production call site passes any_hit=True today (the NEE
+    shadow trace needs the closest hit for sample_lights_pdf_from_hit).
 
     Drop-in for ops.intersect.intersect_scene's closest-hit contract. The
     hit's t/u/v are recomputed in plain JAX from the winning triangle so they
