@@ -7,8 +7,20 @@ iterations inside one jit, fetch as the completion barrier.
 Usage: python scripts/profile_trace_parts.py [R] [K]
 """
 
+import os
 import sys
 import time
+
+
+def _setup_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _fetch(x):
@@ -21,6 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _setup_cache()
+
     from svgf_tpu.ops import bsdf as B
     from svgf_tpu.ops import intersect as I
     from svgf_tpu.ops.lights import sample_lights, sample_lights_pdf_from_hit
@@ -29,8 +43,8 @@ def main():
     from svgf_tpu.render.pathtrace import _shading_point
     from svgf_tpu.scenes.cornell import cornell_box
 
-    R = int(sys.argv[1]) if len(sys.argv) > 1 else 1920 * 1080 // 32
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    R = int(sys.argv[1]) if len(sys.argv) > 1 else 1920 * 1080 // 8
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     print(f"devices: {jax.devices()}  R={R}  K={K}")
 
     ident = jax.jit(lambda x: x + 0.0)
@@ -68,7 +82,7 @@ def main():
             )
             _fetch(f(x0))
             best = 1e9
-            for _ in range(3):
+            for _ in range(6):
                 t0 = time.perf_counter()
                 _fetch(f(x0))
                 best = min(best, time.perf_counter() - t0)
@@ -137,6 +151,22 @@ def main():
             acc = acc + rng.uniform((R,))
         return acc
     timed("12x rng uniform draws", rngs, jnp.zeros((R,)))
+
+    # 6. one full MIS bounce (everything above composed, incl. 2 traces)
+    from svgf_tpu.render.pathtrace import PathState, _bounce_mis
+
+    def bounce(v):
+        st = PathState(
+            radiance=jnp.zeros((R, 3)), weight=jnp.ones((R, 3)),
+            active=jnp.ones((R,), bool), use_mis=jnp.zeros((R,), bool),
+            ro=ro + v[:, None] * 1e-6, rd=rd,
+            in_volume=jnp.zeros((R,), bool), vol_density=jnp.zeros((R, 3)),
+            vol_scattering=jnp.zeros((R, 3)), vol_anisotropy=jnp.zeros((R,)),
+        )
+        rng = RngStream(key, ids)
+        st2, _, _, _ = _bounce_mis(arrays, st, hit0, rng, 1)
+        return st2.radiance[:, 0]
+    timed("one full MIS bounce", bounce, jnp.zeros((R,)))
 
 
 if __name__ == "__main__":

@@ -55,14 +55,16 @@ TILE_H = 128
 TILE_W = 256
 
 
-def _temporal_kernel(prev_hbm, cur, out, scratch, acc, sem,
-                     *, th, tw, h_img, w_img, h_prev, row0,
+def _temporal_kernel(row0_ref, prev_hbm, cur, out, scratch, acc, sem,
+                     *, th, tw, h_img, w_img, h_prev,
                      depth_threshold, normal_threshold, history_base_length):
     """cur planes: 0-2 radiance rgb, 3 depth, 4 instance, 5-7 normal,
     8-9 motion x/y. out planes: 0-2 rgb EMA, 3 variance, 4-5 moments,
-    6 history, 7 valid."""
+    6 history, 7 valid. row0_ref: (1, 1) i32 SMEM — the band's global first
+    row (TRACED under shard_map: jax.lax.axis_index * band height)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    row0 = row0_ref[0, 0]
 
     copy = pltpu.make_async_copy(
         prev_hbm.at[:, pl.ds(i * th, th + 2 * BOUND_Y), pl.ds(j * tw, tw + 128)],
@@ -182,7 +184,7 @@ def pack_prev_planes(prev_color, prev_gbuf, prev_moments, prev_history):
     jax.jit,
     static_argnames=(
         "depth_threshold", "normal_threshold", "history_base_length",
-        "row0", "h_total", "band_halo", "interpret",
+        "h_total", "band_halo", "interpret",
     ),
 )
 def temporal_filter_pallas(
@@ -196,14 +198,16 @@ def temporal_filter_pallas(
     depth_threshold: float,
     normal_threshold: float,
     history_base_length: int,
-    row0: int = 0,
+    row0=0,
     h_total: int | None = None,
     band_halo: bool = False,
     interpret: bool = False,
 ):
     """Drop-in Pallas replacement for svgf.temporal_filter (bounded motion).
 
-    Returns a TemporalResult-compatible tuple
+    row0 may be a TRACED i32 (sharded bands: jax.lax.axis_index * band
+    height) — it reaches the kernel as an SMEM scalar, not a compile-time
+    constant. Returns a TemporalResult-compatible tuple
     (color (H,W,4), moments (H,W,2), history i32 (H,W), valid bool (H,W)).
     """
     from svgf_tpu.render.svgf import TemporalResult
@@ -248,13 +252,14 @@ def temporal_filter_pallas(
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel,
-            th=th, tw=tw, h_img=h_img, w_img=w, h_prev=h_prev, row0=row0,
+            th=th, tw=tw, h_img=h_img, w_img=w, h_prev=h_prev,
             depth_threshold=depth_threshold,
             normal_threshold=normal_threshold,
             history_base_length=history_base_length,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (10, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
@@ -273,7 +278,7 @@ def temporal_filter_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(prev_padded, cur_planes)
+    )(jnp.reshape(jnp.asarray(row0, jnp.int32), (1, 1)), prev_padded, cur_planes)
 
     out = out[:, :h, :w]
     color = jnp.moveaxis(out[0:4], 0, -1)
