@@ -117,6 +117,20 @@ def make_bench_inputs(h, w):
         taa_history=jnp.asarray(rng.uniform(0, 1, (h, w, 4)), jnp.float32),
         gbuffer=gbuf,  # previous == current geometry: reprojection validates
     )
+    # attach the planar cross-frame state (what production frames carry on
+    # the TPU fast path — kernels.planar; packed once here, outside timing)
+    from svgf_tpu.kernels import planar as PL
+    from svgf_tpu.render.types import PlanarState
+
+    lo = PL.make_layout(h, w)
+    state = state._replace(
+        planar=PlanarState(
+            prev=PL.pack_prev_from_state(
+                state.color, gbuf, state.moments, state.history_len, lo
+            ),
+            taa=PL.pack_taa_from_state(state.taa_history, lo),
+        )
+    )
     return jnp.asarray(radiance), gbuf, state
 
 
@@ -171,21 +185,27 @@ def main():
     log(f"filter chain: {filter_ms:.3f} ms/frame min, {filter_ms_med:.3f} med "
         f"(K={K} in-jit iters, 12 reps)")
 
-    # per-stage breakdown (stderr only; same methodology)
-    def stage(name, fn):
+    # per-stage breakdown (recorded in the BENCH JSON so stage-level
+    # regressions are visible to the driver — VERDICT r4 item 9)
+    stage_ms = {}
+
+    def stage(key, name, fn):
         lp = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: fn(v), x))
         try:
             ms = timed(lp, radiance, K, reps=10, fetch_overhead=fetch_overhead) * 1e3
             log(f"  {name:24s} {ms:7.3f} ms")
+            stage_ms[key] = round(ms, 3)
         except Exception as e:  # pragma: no cover
             log(f"  {name:24s} FAILED {type(e).__name__}")
 
     cfg0 = dataclasses.replace(config, svgf=SVGFConfig(spatial_filter_steps=0,
                                                        enable_taa=False))
-    stage("temporal+moments", lambda v: filter_chain(v, gbuf, state, cfg0)[3][..., :3])
+    stage("temporal_moments_ms", "temporal+moments",
+          lambda v: filter_chain(v, gbuf, state, cfg0)[3][..., :3])
     cfg3 = dataclasses.replace(config, svgf=SVGFConfig(spatial_filter_steps=5,
                                                        enable_taa=False))
-    stage("+ 5x a-trous", lambda v: filter_chain(v, gbuf, state, cfg3)[3][..., :3])
+    stage("temporal_moments_atrous5_ms", "+ 5x a-trous",
+          lambda v: filter_chain(v, gbuf, state, cfg3)[3][..., :3])
 
     # ---- trace stage: 1080p 1spp 3-bounce MIS (reference conditions,
     # src/Tracing.h:28-38) on the Cornell box; Mrays/s/chip (BASELINE.md) ----
@@ -194,6 +214,17 @@ def main():
         trace_stats = bench_trace(w, h, fetch_overhead)
     except Exception as e:  # pragma: no cover
         log(f"trace bench FAILED: {type(e).__name__}: {e}")
+
+    # ---- large-scene clustered intersector (104k-tri terrain): coherent
+    # primary + scrambled bounce rays + f64 agreement (VERDICT r4 item 4) ----
+    large = {}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import bench_large
+        large = bench_large.run(n=230)
+    except Exception as e:  # pragma: no cover
+        log(f"large-scene bench FAILED: {type(e).__name__}: {e}")
 
     # ---- sharding evidence (virtual 8-device CPU mesh, subprocess so the
     # TPU-backend process stays clean) ----
@@ -224,9 +255,17 @@ def main():
         "vs_baseline": round(baseline_ms / filter_ms, 2),
         "value_median": round(filter_ms_med, 3),
         "reps": 12,
+        "stages": stage_ms,
         **trace_stats,
+        "large_scene": large,
         "sharding": sharding,
     }))
+
+
+def _state_scalar(state):
+    """A scalar leaf to fetch as the completion barrier (planar states
+    have no legacy color field)."""
+    return state.color if state.color is not None else state.planar.prev
 
 
 def bench_trace(w, h, fetch_overhead):
@@ -260,7 +299,14 @@ def bench_trace(w, h, fetch_overhead):
     scene.cameras[0].aspect = w / h
     arrays = scene.flatten()
 
-    state0 = TemporalState.initial(h, w, jnp.dtype(config.state_dtype))
+    from svgf_tpu.kernels import resolve_pallas
+
+    init = (
+        TemporalState.initial_planar
+        if resolve_pallas(config.use_pallas)[0] and config.planar_chain
+        else TemporalState.initial
+    )
+    state0 = init(h, w, jnp.dtype(config.state_dtype))
 
     def frame(st):
         out, new = render_frame(arrays, st, config)
@@ -268,14 +314,21 @@ def bench_trace(w, h, fetch_overhead):
 
     step = jax.jit(frame, donate_argnums=(0,))
     log("compiling 1080p render_frame (cornell)...")
+    t_c0 = time.perf_counter()
     state, nrays = step(state0)
-    _fetch(state.color)
+    _fetch(_state_scalar(state))
+    compile_s = time.perf_counter() - t_c0
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+    cache_warm = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
+    log(f"render_frame compile+first-run: {compile_s:.1f}s "
+        f"(persistent cache {'present' if cache_warm else 'cold'})")
     total_rays = int(nrays)   # measured (steady for a static camera)
     best = 1e9
     for _ in range(7):
         t0 = time.perf_counter()
         state, nrays = step(state)
-        _fetch(state.color)
+        _fetch(_state_scalar(state))
         best = min(best, time.perf_counter() - t0)
     frame_ms = (best - fetch_overhead) * 1e3
 
@@ -290,16 +343,14 @@ def bench_trace(w, h, fetch_overhead):
 
     step_t = jax.jit(trace_only, donate_argnums=(0,))
     log("compiling trace-only step...")
-    state_t, nrays_t = step_t(
-        TemporalState.initial(h, w, jnp.dtype(config.state_dtype))
-    )
-    _fetch(state_t.color)
+    state_t, nrays_t = step_t(init(h, w, jnp.dtype(config.state_dtype)))
+    _fetch(_state_scalar(state_t))
     total_rays = int(nrays_t)
     best_t = 1e9
     for _ in range(7):
         t0 = time.perf_counter()
         state_t, nrays_t = step_t(state_t)
-        _fetch(state_t.color)
+        _fetch(_state_scalar(state_t))
         best_t = min(best_t, time.perf_counter() - t0)
     trace_ms = (best_t - fetch_overhead) * 1e3
 
@@ -308,6 +359,8 @@ def bench_trace(w, h, fetch_overhead):
     log(f"1080p trace+gbuffer: {trace_ms:.2f} ms  "
         f"({total_rays/1e6:.1f} Mrays measured -> {mrays:.1f} Mrays/s/chip)")
     return {
+        "compile_s_render_frame_1080p": round(compile_s, 1),
+        "compile_cache_present": cache_warm,
         "frame_ms_1080p_cornell": round(frame_ms, 2),
         "trace_ms_1080p_cornell": round(trace_ms, 2),
         "mrays_per_s_per_chip": round(mrays, 1),

@@ -21,7 +21,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run(n: int = 230, reps: int = 5) -> dict:
+    """Build the stress terrain, measure the clustered intersector, return
+    the result dict (called in-process by bench.py -> BENCH JSON)."""
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +31,6 @@ def main():
     from svgf_tpu.ops.intersect import intersect_scene
     from svgf_tpu.scenes.stress import stress_scene
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 230
     w, h = 1920, 1080
     t0 = time.time()
     sc = stress_scene(n=n, aspect=w / h)
@@ -57,7 +58,7 @@ def main():
     float(dist[0])
     log(f"compile+first run: {time.time()-t0:.1f}s")
     best = 1e9
-    for _ in range(5):
+    for _ in range(reps):
         t1 = time.perf_counter()
         dist = fn(arr, ro, rd)
         float(jnp.ravel(dist)[0])
@@ -111,14 +112,19 @@ def main():
     log(f"correctness: hit agreement {agree*100:.2f}%, "
         f"max rel dist err {rel.max():.2e}")
 
-    print(json.dumps({
+    return {
         "metric": "clustered_intersect_1080p",
         "tris": int(arr.meta.n_world_tris),
         "mrays_per_s_primary": round(mrays_primary, 1),
         "mrays_per_s_scrambled": round(mrays_scrambled, 1),
         "hit_agreement": round(float(agree), 4),
         "max_rel_dist_err": float(rel.max()),
-    }))
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 230
+    print(json.dumps(run(n)))
 
 
 if __name__ == "__main__":

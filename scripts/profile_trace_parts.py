@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 
 def _setup_cache():
     import jax

@@ -92,7 +92,8 @@ def main():
         write_png(os.path.join(args.out, f"frame_{f:04d}.png"), img)
         print(f"frame {f}: {dt*1000:.1f} ms  mean={img.mean():.4f}", flush=True)
 
-    save_checkpoint(os.path.join(args.out, "ckpt.npz"), r.state)
+    save_checkpoint(os.path.join(args.out, "ckpt.npz"), r.state,
+                    height=cfg.height, width=cfg.width)
     print(f"checkpoint saved; resume with --resume {args.out}/ckpt.npz")
 
 

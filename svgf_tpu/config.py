@@ -123,6 +123,11 @@ class RenderConfig:
     #   "interpret" — Pallas interpreter mode (CPU parity tests of the
     #                 pipeline's actual kernel code path)
     use_pallas: str = "auto"
+    # Planar fast path (kernels.planar): ONE channel-planar padded layout
+    # for the whole filter chain + planar cross-frame state. Removes the
+    # per-stage (H, W, C) <-> planar transposes that dominated r4 filter
+    # wall-clock. Applies when Pallas is on; False = per-stage kernels.
+    planar_chain: bool = True
     # Separate policy for the dense Pallas INTERSECTOR (None = follow
     # use_pallas). Lets tests pin the intersector while exercising the
     # filter kernels: ray-triangle edge ties flip under different fp

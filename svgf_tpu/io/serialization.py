@@ -132,7 +132,42 @@ def load_scene_npz(path: str) -> Scene:
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, state: TemporalState) -> None:
+def save_checkpoint(path: str, state: TemporalState,
+                    height: int | None = None, width: int | None = None) -> None:
+    """Checkpoint a TemporalState. Planar-path states (legacy image fields
+    None, kernels.planar layout) are converted to the legacy image layout on
+    the host so checkpoints stay mode-agnostic — a planar checkpoint resumes
+    under the XLA path and vice versa. For planar states pass height/width
+    (the padded planes don't encode them)."""
+    if state.color is None:
+        assert state.planar is not None, "empty state"
+        assert height is not None and width is not None, (
+            "planar checkpoints need height/width"
+        )
+        from svgf_tpu.kernels.planar import PAD_X, PAD_Y
+        from svgf_tpu.render.types import GBuffer as GB
+
+        prev = np.asarray(state.planar.prev, np.float32)[
+            :, PAD_Y : PAD_Y + height, PAD_X : PAD_X + width
+        ]
+        taa = np.asarray(state.planar.taa, np.float32)[
+            :, PAD_Y : PAD_Y + height, PAD_X : PAD_X + width
+        ]
+        color = np.concatenate(
+            [np.moveaxis(prev[5:8], 0, -1), np.zeros((height, width, 1), np.float32)],
+            axis=-1,
+        )
+        g = GB.zeros(height, width)._replace(
+            depth=prev[0], instance=prev[1].astype(np.int32),
+            normal=np.moveaxis(prev[2:5], 0, -1),
+        )
+        state = state._replace(
+            color=color,
+            moments=np.moveaxis(prev[9:11], 0, -1),
+            history_len=prev[8].astype(np.int32),
+            taa_history=np.moveaxis(taa, 0, -1),
+            gbuffer=g,
+        )
     g = state.gbuffer
     np.savez_compressed(
         path,

@@ -40,35 +40,43 @@ _RS = 512
 _TC = 256
 
 
-def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
-            *, n_chunks, tc):
+def _kernel(tri_ref, ro_ref, rd_ref, ta_ref, out_ref, *, n_chunks, tc):
     """One ray tile (RT rays, on lanes) against every triangle chunk.
 
-    tri_ref: (9, T) VMEM — v0xyz, v1xyz, v2xyz rows, T = n_chunks*tc
-    valid_ref: (1, T) f32 — 1.0 for real triangles (0 = padding / filtered)
+    tri_ref: (13, T) VMEM — rows 0-8 v0xyz v1xyz v2xyz, 9 valid (1.0 = real
+    triangle), 10 prim, 11 inst, 12 mat; T = n_chunks*tc.
     ro_ref/rd_ref: (3, RT); ta_ref: (2, RT) rows = (t0, active);
-    out_ref: (4, RT) rows = (t, u, v, tri_index).
+    out_ref: (16, RT) rows = [t u v col | v0xyz v1xyz v2xyz | prim inst mat].
+
+    The winner's 9 vertex floats and its ids are selected IN-KERNEL while
+    they are VMEM-resident (masked select-sum per improving chunk) — the r4
+    wrapper's MXU one-hot row-gather for them cost ~0.4 ms per call at
+    1080p-chunk lane counts, most of the all-inactive fixed cost.
 
     Tile / sub-tile early-out: a tile (or RS-ray sub-tile) whose rays are
     ALL inactive (dead lanes after termination/RR, or a masked re-trace)
     skips the triangle loop — the wavefront analogue of SIMT divergence
-    exit (PathTrace.cuh:558-621); masked traces are nearly free.
+    exit (PathTrace.cuh:558-621).
     """
     t00 = ta_ref[0:1, :]                       # (1, RT)
     out_ref[0:1, :] = t00
-    out_ref[1:4, :] = jnp.zeros((3, out_ref.shape[1]), jnp.float32)
+    out_ref[1:16, :] = jnp.zeros((15, out_ref.shape[1]), jnp.float32)
     live_tile = jnp.any(ta_ref[1, :] > 0.0)
 
     @pl.when(live_tile)
     def _live():
         def chunk(c, _):
             sl = pl.ds(c * tc, tc)
-            # triangles onto sublanes: 10 small (1,tc)->(tc,1) transposes,
+            # triangles onto sublanes: 13 small (1,tc)->(tc,1) transposes,
             # hoisted out of the ray sub-tile loop
             comp = [
                 jnp.transpose(tri_ref[k, sl][None, :], (1, 0)) for k in range(9)
             ]
-            val = jnp.transpose(valid_ref[0, sl][None, :], (1, 0)) > 0.5
+            val = jnp.transpose(tri_ref[9, sl][None, :], (1, 0)) > 0.5
+            ids = [
+                jnp.transpose(tri_ref[k, sl][None, :], (1, 0))
+                for k in (10, 11, 12)
+            ]
 
             def sub(s, _):
                 rows = pl.ds(s * _RS, _RS)
@@ -76,15 +84,33 @@ def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
 
                 @pl.when(live)
                 def _go():
-                    tmin, uc, vc, ic, _ = _mt_rows(
+                    tmin, uc, vc, ic, sel = _mt_rows(
                         comp, val, ro_ref, rd_ref, rows, c * tc
                     )
                     bt = out_ref[0:1, rows]
                     closer = tmin < bt
-                    out_ref[0:1, rows] = jnp.where(closer, tmin, bt)
-                    out_ref[1:2, rows] = jnp.where(closer, uc, out_ref[1:2, rows])
-                    out_ref[2:3, rows] = jnp.where(closer, vc, out_ref[2:3, rows])
-                    out_ref[3:4, rows] = jnp.where(closer, ic, out_ref[3:4, rows])
+                    any_closer = jnp.any(closer)
+
+                    @pl.when(any_closer)
+                    def _upd():
+                        out_ref[0:1, rows] = jnp.where(closer, tmin, bt)
+                        out_ref[1:2, rows] = jnp.where(
+                            closer, uc, out_ref[1:2, rows]
+                        )
+                        out_ref[2:3, rows] = jnp.where(
+                            closer, vc, out_ref[2:3, rows]
+                        )
+                        out_ref[3:4, rows] = jnp.where(
+                            closer, ic, out_ref[3:4, rows]
+                        )
+                        for jj, cj in enumerate(comp + ids):
+                            r = 4 + jj
+                            wv = jnp.sum(
+                                jnp.where(sel, cj, 0.0), axis=0, keepdims=True
+                            )
+                            out_ref[r : r + 1, rows] = jnp.where(
+                                closer, wv, out_ref[r : r + 1, rows]
+                            )
                 return 0
 
             jax.lax.fori_loop(0, out_ref.shape[1] // _RS, sub, 0)
@@ -94,20 +120,22 @@ def _kernel(tri_ref, valid_ref, ro_ref, rd_ref, ta_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
-    """(t, u, v, idx) of the nearest valid triangle per ray.
+def _intersect_rays(tri13, ro, rd, t0, act, interpret=False):
+    """Nearest valid hit per ray + the winner's vertex/id rows.
 
-    tris9: (9, T) with T a multiple of 128; valid: (T,) f32; ro/rd (R,3);
-    t0 (R,); act (R,) f32 — fully-inactive ray tiles are skipped.
+    tri13: (13, T) packed [v0-v2 xyz | valid prim inst mat] with T a
+    multiple of 128; ro/rd (R,3); t0 (R,); act (R,) f32 — fully-inactive
+    ray tiles are skipped. Returns (t, u, v, w9 (9, R), prim, inst, mat).
     """
-    T = tris9.shape[1]
+    T = tri13.shape[1]
     R = ro.shape[0]
     tc = _TC if T >= _TC else T      # T is a multiple of 128 (soup padding)
     n_chunks = -(-T // tc)
     tpad = n_chunks * tc - T
     if tpad:
-        tris9 = jnp.concatenate([tris9, jnp.zeros((9, tpad), tris9.dtype)], axis=1)
-        valid = jnp.concatenate([valid, jnp.zeros((tpad,), valid.dtype)], axis=0)
+        tri13 = jnp.concatenate(
+            [tri13, jnp.zeros((13, tpad), tri13.dtype)], axis=1
+        )
         T = T + tpad
     pad = (-R) % _RT
     ro_t = ro.T
@@ -124,18 +152,23 @@ def _intersect_rays(tris9, valid, ro, rd, t0, act, interpret=False):
         functools.partial(_kernel, n_chunks=n_chunks, tc=tc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((9, T), lambda i: (0, 0)),
-            pl.BlockSpec((1, T), lambda i: (0, 0)),
+            pl.BlockSpec((13, T), lambda i: (0, 0)),
             pl.BlockSpec((3, _RT), lambda i: (0, i)),
             pl.BlockSpec((3, _RT), lambda i: (0, i)),
             pl.BlockSpec((2, _RT), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((4, _RT), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((4, Rp), jnp.float32),
+        out_specs=pl.BlockSpec((16, _RT), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
         interpret=interpret,
-    )(tris9, valid.reshape(1, T), ro_t, rd_t, ta)
+    )(tri13, ro_t, rd_t, ta)
 
-    return out[0, :R], out[1, :R], out[2, :R], out[3, :R].astype(jnp.int32)
+    return (
+        out[0, :R], out[1, :R], out[2, :R],
+        out[4:13, :R],
+        out[13, :R].astype(jnp.int32),
+        out[14, :R].astype(jnp.int32),
+        out[15, :R].astype(jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -540,36 +573,29 @@ def intersect_dense_pallas(scene, ro, rd, active=None, any_hit=False,
     )
 
     # The kernel only SELECTS the nearest triangle (discrete, constant under
-    # differentiation — SURVEY §7.1); t/u/v are then recomputed for the
-    # winning triangle in plain JAX so they stay differentiable w.r.t. the
-    # ray (camera pose) and the geometry, exactly like the XLA intersector.
-    tb, _, _, ib = _intersect_rays(
-        jax.lax.stop_gradient(scene.world_tris9), valid,
+    # differentiation — SURVEY §7.1) and returns the winner's vertex/id rows
+    # while they are VMEM-resident; t/u/v are then recomputed in plain JAX
+    # so they stay differentiable w.r.t. the ray (camera pose) and the
+    # geometry, exactly like the XLA intersector. The packed (13, T) concat
+    # is CSE'd by XLA across the several intersect calls of one jitted frame.
+    tri13 = jnp.concatenate(
+        [
+            scene.world_tris9,
+            valid[None],
+            scene.world_tri_prim.astype(jnp.float32)[None],
+            scene.world_tri_inst.astype(jnp.float32)[None],
+            scene.world_tri_mat.astype(jnp.float32)[None],
+        ]
+    )
+    tb, _, _, w9, prim_id, inst_id, mat_id = _intersect_rays(
+        jax.lax.stop_gradient(tri13),
         jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
         t0, act, interpret=interpret,
     )
     ok = tb < t0
-    ib = jnp.clip(ib, 0, tw - 1)
 
-    from svgf_tpu.ops.gather import take_rows
     from svgf_tpu.ops.geometry import ray_triangle_comp_raw
 
-    # ONE MXU one-hot gathers the winning triangle's 9 vertex floats AND its
-    # prim/instance/material ids (ids ride the f32 matmul exactly, < 2^24)
-    cat = jnp.concatenate(
-        [
-            scene.world_tris9.T,
-            scene.world_tri_prim.astype(jnp.float32)[:, None],
-            scene.world_tri_inst.astype(jnp.float32)[:, None],
-            scene.world_tri_mat.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
-    )
-    rows = take_rows(cat, ib)                                   # (R, 12)
-    w9 = rows[:, :9].T
-    prim_id = rows[:, 9].astype(jnp.int32)
-    inst_id = rows[:, 10].astype(jnp.int32)
-    mat_id = rows[:, 11].astype(jnp.int32)
     roc = (ro[:, 0], ro[:, 1], ro[:, 2])
     rdc = (rd[:, 0], rd[:, 1], rd[:, 2])
     # RAW values: the kernel's hit verdict is authoritative; re-masking here

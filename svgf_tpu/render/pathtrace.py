@@ -479,9 +479,14 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     weight = state.weight
 
     # ---------------- NEE branch (PathTrace.cuh:238-260) ----------------
-    # The shadow trace runs FIRST and its hit is reused for the light pdf
-    # (sample_lights_pdf_from_hit) instead of fresh per-light re-traces —
-    # the reference's own flagged hot spot (Common.cuh:635 "not efficient").
+    # The shadow hit is reused for the light pdf (sample_lights_pdf_from_hit)
+    # instead of fresh per-light re-traces — the reference's own flagged hot
+    # spot (Common.cuh:635 "not efficient"). The shadow and MIS-sample rays
+    # are BATCHED into one 2R-lane intersect below (same scene, two ray
+    # sets): at 1080p each intersect call carries ~1 ms of fixed dispatch /
+    # layout cost, so one kernel sweep instead of two nearly halves the
+    # per-bounce trace time. RNG draw order is unchanged (the traces consume
+    # no randomness), so results are bitwise identical per lane.
     dir_l = sample_lights(
         scene, position, rng.uniform((R,)), rng.uniform((R,)), rng.uniform2((R,))
     )
@@ -490,7 +495,29 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     bsdf_l = B.eval_bsdf_cos(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
     pre_l = shade & ~delta & ~l_zero & jnp.any(bsdf_l != 0.0, axis=-1)
     nrays = jnp.sum(pre_l.astype(jnp.int32))
-    shadow = intersect_scene(scene, shifted_l, dir_l, active=pre_l)
+
+    # ------------- BSDF-sample directions (PathTrace.cuh:261-268) --------
+    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)), scene.meta.mat_types_used)
+    b_zero = jnp.all(dir_b == 0.0, axis=-1)
+    shifted_b = _offset_origin(position, normal, dir_b)
+    bsdf_b = B.eval_bsdf_cos(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
+    bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
+    pre_b = (
+        shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
+        & jnp.any(bsdf_b != 0.0, axis=-1)
+    )
+    nrays = nrays + jnp.sum(pre_b.astype(jnp.int32))
+
+    # ---- ONE batched intersect for both ray sets (shadow | MIS sample) ----
+    hit2 = intersect_scene(
+        scene,
+        jnp.concatenate([shifted_l, shifted_b], axis=0),
+        jnp.concatenate([dir_l, dir_b], axis=0),
+        active=jnp.concatenate([pre_l, pre_b], axis=0),
+    )
+    shadow = jax.tree.map(lambda x: x[:R], hit2)
+    mis_hit = jax.tree.map(lambda x: x[R:], hit2)
+
     lpdf_l = sample_lights_pdf_from_hit(scene, shifted_l, dir_l, shadow)
     bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
     # Double-where: guard the division's backward for lpdf_l == 0 lanes.
@@ -511,18 +538,8 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
     )
 
     # ---------------- BSDF-sample branch (PathTrace.cuh:261-284) --------
-    # Same reuse: the MIS intersection supplies the light pdf of dir_b.
-    dir_b = B.sample_bsdf_cos(mp, normal, outgoing, rng.uniform((R,)), rng.uniform2((R,)), scene.meta.mat_types_used)
-    b_zero = jnp.all(dir_b == 0.0, axis=-1)
-    shifted_b = _offset_origin(position, normal, dir_b)
-    bsdf_b = B.eval_bsdf_cos(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
-    bpdf_b = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_b, scene.meta.mat_types_used)
-    pre_b = (
-        shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
-        & jnp.any(bsdf_b != 0.0, axis=-1)
-    )
-    nrays = nrays + jnp.sum(pre_b.astype(jnp.int32))
-    mis_hit = intersect_scene(scene, shifted_b, dir_b, active=pre_b)
+    # Same reuse: the MIS intersection (from the batched trace above)
+    # supplies the light pdf of dir_b.
     lpdf_b = sample_lights_pdf_from_hit(scene, shifted_b, dir_b, mis_hit)
     safe_b = bpdf_b > 0
     misw_b = jnp.where(safe_b, power_heuristic(bpdf_b, lpdf_b), 0.0) / jnp.where(

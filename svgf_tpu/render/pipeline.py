@@ -37,6 +37,34 @@ from svgf_tpu.render.pathtrace import pathtrace_chunked
 from svgf_tpu.render.types import FrameOutputs, GBuffer, TemporalState
 
 
+def _planar_chain(radiance, gbuf, state: TemporalState, config: RenderConfig,
+                  interp: bool):
+    """Run the planar fast path (kernels.planar) from a TemporalState.
+
+    Returns (PlanarChainOut, cur_planes, layout). Uses state.planar when
+    present (steady state: zero transposes); otherwise packs the legacy
+    image-layout fields once (entry frame / legacy checkpoints)."""
+    from svgf_tpu.kernels import planar as PL
+
+    h, w = radiance.shape[:2]
+    lo = PL.make_layout(h, w)
+    if state.planar is not None:
+        prev, taa = state.planar.prev, state.planar.taa
+    else:
+        prev = PL.pack_prev_from_state(
+            state.color.astype(jnp.float32), state.gbuffer,
+            state.moments.astype(jnp.float32), state.history_len, lo,
+        )
+        taa = PL.pack_taa_from_state(state.taa_history, lo)
+    cur = PL.pack_current(radiance, gbuf, lo)
+    out = PL.filter_chain_planar(
+        cur, prev, taa, lo, config.svgf,
+        bound=config.reproject_max_motion, interpret=interp,
+        enable_taa=config.svgf.enable_taa,
+    )
+    return out, cur, lo
+
+
 def filter_chain(radiance, gbuf, state: TemporalState, config: RenderConfig):
     """Stages 3-6 of the reference pipeline (TemporalFilter -> FilterMoments
     -> WaveletFilter -> TAA, App.cu:469-522) on one frame's radiance.
@@ -46,11 +74,32 @@ def filter_chain(radiance, gbuf, state: TemporalState, config: RenderConfig):
     (temporal_result, moments_out, atrous_out, final, feedback) where
     `feedback` is what goes back into next frame's temporal history
     (a-trous iteration 0, Filter.cuh:619-622).
+
+    On TPU (Pallas on + config.planar_chain) this routes through the planar
+    fast path; the (H, W, C) views in the returned tuple are built lazily —
+    XLA dead-code-eliminates any the caller does not use.
     """
     h, w = radiance.shape[:2]
 
     # ---- 3. Temporal filter ----
     pallas_on, interp = resolve_pallas(config.use_pallas)
+    if pallas_on and config.planar_chain:
+        from svgf_tpu.kernels import planar as PL
+
+        out, _, lo = _planar_chain(radiance, gbuf, state, config, interp)
+        tres = svgf.TemporalResult(
+            color=PL.unpack_hwc(out.tout, lo, 4),
+            moments=PL.unpack_hwc(out.tout[PL.T_M1 : PL.T_M2 + 1], lo),
+            history_len=PL.unpack_plane(out.tout, PL.T_HIST, lo).astype(jnp.int32),
+            reprojected=PL.unpack_plane(out.tout, PL.T_VALID, lo) > 0.5,
+        )
+        return (
+            tres,
+            PL.unpack_hwc(out.moments4, lo),
+            PL.unpack_hwc(out.atrous4, lo),
+            PL.unpack_hwc(out.final4, lo),
+            PL.unpack_hwc(out.feedback, lo),
+        )
     with jax.named_scope("temporal"):
         if pallas_on:
             # motion-bounded Pallas reprojection (see kernels.temporal_pallas;
@@ -193,39 +242,87 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
             rays_traced = rays_traced + nr
     radiance = radiance.reshape(h, w, 3)
 
-    tres, moments_out, atrous_out, final, feedback = filter_chain(
-        radiance, gbuf, state, config
-    )
-
-    new_state = TemporalState(
-        color=feedback.astype(sdtype),
-        moments=tres.moments.astype(sdtype),
-        history_len=tres.history_len,
-        taa_history=final.astype(sdtype),
-        gbuffer=jax.tree.map(
-            lambda x: x.astype(sdtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            gbuf,
-        ),
-        frame_idx=state.frame_idx + 1,
-    )
-
-    image = _select_tap(config.debug_output, radiance, tres, moments_out, atrous_out,
-                        final, gbuf)
-
-    # structured per-frame metrics (SURVEY §5 observability).
-    # rays_traced is MEASURED: active lanes of every intersect invocation,
-    # accumulated inside the trace (render/pathtrace.py) + the primary pass.
-    from svgf_tpu.render.types import FrameMetrics
-
-    metrics = FrameMetrics(
-        disoccluded_pct=100.0 * (1.0 - jnp.mean(tres.reprojected.astype(jnp.float32))),
-        mean_history=jnp.mean(tres.history_len.astype(jnp.float32)),
-        mean_variance=jnp.mean(tres.color[..., 3]),
-        coverage_pct=100.0 * jnp.mean((gbuf.instance >= 0).astype(jnp.float32)),
-        rays_traced=rays_traced,
-    )
+    from svgf_tpu.render.types import FrameMetrics, PlanarState
 
     taps = config.keep_taps or config.debug_output != DebugOutput.FINAL
+    pallas_on, interp = resolve_pallas(config.use_pallas)
+
+    if pallas_on and config.planar_chain:
+        # ---- planar fast path: state stays channel-planar across frames ----
+        from svgf_tpu.kernels import planar as PL
+
+        pout, cur_planes, lo = _planar_chain(radiance, gbuf, state, config,
+                                             interp)
+        final = PL.unpack_hwc(pout.final4, lo)
+        new_state = TemporalState(
+            color=None, moments=None, history_len=None, taa_history=None,
+            gbuffer=None,
+            frame_idx=state.frame_idx + 1,
+            planar=PlanarState(
+                prev=PL.assemble_prev(
+                    cur_planes, pout.tout, pout.feedback[0:3], sdtype
+                ),
+                taa=pout.final4.astype(sdtype),
+            ),
+        )
+        metrics = FrameMetrics(
+            disoccluded_pct=100.0
+            * (1.0 - jnp.mean(PL.unpack_plane(pout.tout, PL.T_VALID, lo))),
+            mean_history=jnp.mean(PL.unpack_plane(pout.tout, PL.T_HIST, lo)),
+            mean_variance=jnp.mean(PL.unpack_plane(pout.tout, PL.T_VAR, lo)),
+            coverage_pct=100.0
+            * jnp.mean((gbuf.instance >= 0).astype(jnp.float32)),
+            rays_traced=rays_traced,
+        )
+        if taps:
+            tres = svgf.TemporalResult(
+                color=PL.unpack_hwc(pout.tout, lo, 4),
+                moments=PL.unpack_hwc(pout.tout[PL.T_M1 : PL.T_M2 + 1], lo),
+                history_len=PL.unpack_plane(pout.tout, PL.T_HIST, lo).astype(
+                    jnp.int32
+                ),
+                reprojected=PL.unpack_plane(pout.tout, PL.T_VALID, lo) > 0.5,
+            )
+            moments_out = PL.unpack_hwc(pout.moments4, lo)
+            atrous_out = PL.unpack_hwc(pout.atrous4, lo)
+            image = _select_tap(config.debug_output, radiance, tres,
+                                moments_out, atrous_out, final, gbuf)
+        else:
+            tres = moments_out = atrous_out = None
+            image = final[..., :3]
+    else:
+        tres, moments_out, atrous_out, final, feedback = filter_chain(
+            radiance, gbuf, state, config
+        )
+        new_state = TemporalState(
+            color=feedback.astype(sdtype),
+            moments=tres.moments.astype(sdtype),
+            history_len=tres.history_len,
+            taa_history=final.astype(sdtype),
+            gbuffer=jax.tree.map(
+                lambda x: x.astype(sdtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                gbuf,
+            ),
+            frame_idx=state.frame_idx + 1,
+        )
+        image = _select_tap(config.debug_output, radiance, tres, moments_out,
+                            atrous_out, final, gbuf)
+        # structured per-frame metrics (SURVEY §5 observability).
+        # rays_traced is MEASURED: active lanes of every intersect
+        # invocation, accumulated inside the trace (render/pathtrace.py)
+        # + the primary pass.
+        metrics = FrameMetrics(
+            disoccluded_pct=100.0
+            * (1.0 - jnp.mean(tres.reprojected.astype(jnp.float32))),
+            mean_history=jnp.mean(tres.history_len.astype(jnp.float32)),
+            mean_variance=jnp.mean(tres.color[..., 3]),
+            coverage_pct=100.0
+            * jnp.mean((gbuf.instance >= 0).astype(jnp.float32)),
+            rays_traced=rays_traced,
+        )
+
     outputs = FrameOutputs(
         image=image,
         radiance=radiance if taps else None,
@@ -285,7 +382,13 @@ class Renderer:
         for cam in scene.cameras:
             cam.aspect = config.width / config.height
         self.arrays = scene.flatten()
-        self.state = TemporalState.initial(
+        pallas_on, _ = resolve_pallas(config.use_pallas)
+        init = (
+            TemporalState.initial_planar
+            if pallas_on and config.planar_chain
+            else TemporalState.initial
+        )
+        self.state = init(
             config.height, config.width, jnp.dtype(config.state_dtype)
         )
         self._step = jax.jit(

@@ -42,6 +42,17 @@ class GBuffer(NamedTuple):
         )
 
 
+class PlanarState(NamedTuple):
+    """Planar-path cross-frame state (kernels.planar): the 11-plane packed
+    previous frame [depth inst nx ny nz r g b hist m1 m2] and the 4-plane
+    TAA history, both on the canonical padded planar layout and stored at
+    config.state_dtype (the reference stores fp16, App.cu:763-773). Replaces
+    every per-frame (H, W, C) <-> planar transpose of the legacy fields."""
+
+    prev: jax.Array   # (11, HPAD, WPAD) state_dtype
+    taa: jax.Array    # (4, HPAD, WPAD) state_dtype
+
+
 class TemporalState(NamedTuple):
     """Cross-frame state (the reference's ping-pong buffer set).
 
@@ -55,6 +66,9 @@ class TemporalState(NamedTuple):
     gbuffer:     previous frame's G-buffer (for reprojection validity tests).
     frame_idx:   frame counter (feeds the RNG; replaces the reference's
                  wall-clock Time seed, PathTrace.cuh:589).
+    planar:      planar-path state (TPU fast path). When set, the legacy
+                 image-layout fields above may be None — the planar planes
+                 are authoritative (render.pipeline converts on entry/exit).
     """
 
     color: jax.Array        # (H, W, 4)
@@ -63,6 +77,7 @@ class TemporalState(NamedTuple):
     taa_history: jax.Array  # (H, W, 4)
     gbuffer: GBuffer
     frame_idx: jax.Array    # () i32
+    planar: PlanarState | None = None
 
     @staticmethod
     def initial(h: int, w: int, dtype=jnp.float16) -> "TemporalState":
@@ -73,6 +88,22 @@ class TemporalState(NamedTuple):
             taa_history=jnp.zeros((h, w, 4), dtype),
             gbuffer=GBuffer.zeros(h, w, dtype),
             frame_idx=jnp.int32(0),
+        )
+
+    @staticmethod
+    def initial_planar(h: int, w: int, dtype=jnp.float16) -> "TemporalState":
+        """Planar-native initial state (legacy image fields omitted)."""
+        from svgf_tpu.kernels.planar import make_layout
+
+        lo = make_layout(h, w)
+        return TemporalState(
+            color=None, moments=None, history_len=None, taa_history=None,
+            gbuffer=None,
+            frame_idx=jnp.int32(0),
+            planar=PlanarState(
+                prev=jnp.zeros((11, lo.hpad, lo.wpad), dtype),
+                taa=jnp.zeros((4, lo.hpad, lo.wpad), dtype),
+            ),
         )
 
 
