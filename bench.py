@@ -78,9 +78,15 @@ def make_bench_inputs(h, w):
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     u, v = xx / w, yy / h
 
-    # smooth depth with a few object edges (instance changes + depth jumps)
+    # smooth depth with a few object edges (instance changes + depth jumps).
+    # Instance bands run HORIZONTAL: the mostly-horizontal orbit motion then
+    # crosses an instance/depth edge only near the few band boundaries, so
+    # the realized temporal-rejection rate stays at the documented ~3-6%
+    # (diagonal bands made reprojection cross an edge almost everywhere,
+    # silently inflating the moments-fallback share far past the documented
+    # disocclusion contract — r5 fix).
     depth = 2.0 + 1.5 * np.sin(3 * u * np.pi) * np.cos(2 * v * np.pi) + v
-    instance = (np.floor(3 * u + 2 * v) % 4).astype(np.int32)
+    instance = (np.floor(6 * v) % 4).astype(np.int32)
     depth = depth + 0.7 * instance
     depth_deriv = np.abs(np.gradient(depth, axis=1)) + 1e-4
 
@@ -119,6 +125,8 @@ def make_bench_inputs(h, w):
     )
     # attach the planar cross-frame state (what production frames carry on
     # the TPU fast path — kernels.planar; packed once here, outside timing)
+    # at the production default state dtype (fp16, like the reference's
+    # fp16 buffers App.cu:763-773 — RenderConfig.state_dtype)
     from svgf_tpu.kernels import planar as PL
     from svgf_tpu.render.types import PlanarState
 
@@ -126,9 +134,11 @@ def make_bench_inputs(h, w):
     state = state._replace(
         planar=PlanarState(
             prev=PL.pack_prev_from_state(
-                state.color, gbuf, state.moments, state.history_len, lo
+                state.color, gbuf, state.moments, state.history_len, lo,
+                dtype=jnp.float16,
             ),
-            taa=PL.pack_taa_from_state(state.taa_history, lo),
+            taa=PL.pack_taa_from_state(state.taa_history, lo,
+                                       dtype=jnp.float16),
         )
     )
     return jnp.asarray(radiance), gbuf, state

@@ -64,10 +64,12 @@ def main():
     def tp(name, fn, x0):
         """fn: (x0, scalar) -> array; scalar-chained K-iteration loop (the
         scalar perturbation defeats CSE; its x0.at[] add costs ~0.1 ms at
-        these sizes — subtract mentally for the smallest pieces)."""
+        these sizes — subtract mentally for the smallest pieces). The
+        result is reduced with a FULL sum so XLA cannot slice-DCE pure
+        stack/concat producers (the r5 assemble_prev "0.000 ms" artifact)."""
         def body(i, s):
             y = fn(x0, s)
-            return jnp.ravel(y)[0].astype(jnp.float32) * 1e-20
+            return jnp.sum(y).astype(jnp.float32) * 1e-20
         lp = jax.jit(lambda s: jax.lax.fori_loop(0, K, body, s))
         ms = timed(lp, jnp.float32(0), K, reps=10, fetch_overhead=fetch) * 1e3
         print(f"  {name:28s} {ms:7.3f} ms", flush=True)

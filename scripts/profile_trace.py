@@ -8,8 +8,11 @@ Usage: python scripts/profile_trace.py [chunks ...]
 """
 
 import dataclasses
+import os
 import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _fetch(x):
@@ -27,6 +30,10 @@ def main():
     from svgf_tpu.render.pipeline import render_frame
     from svgf_tpu.render.types import TemporalState
     from svgf_tpu.scenes.cornell import cornell_box
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        __file__.rsplit("/", 2)[0], ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     w, h = 1920, 1080
     chunk_list = [int(a) for a in sys.argv[1:]] or [32, 8, 4, 2, 1]
@@ -46,14 +53,17 @@ def main():
     scene.cameras[0].aspect = w / h
     arrays = scene.flatten()
 
+    def scal(state):
+        return state.color if state.color is not None else state.planar.prev
+
     def timeit(step, state, reps=3):
         state = step(state)
-        _fetch(state.color)
+        _fetch(scal(state))
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
             state = step(state)
-            _fetch(state.color)
+            _fetch(scal(state))
             best = min(best, time.perf_counter() - t0)
         return (best - fo) * 1e3
 

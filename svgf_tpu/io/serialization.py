@@ -144,15 +144,33 @@ def save_checkpoint(path: str, state: TemporalState,
         assert height is not None and width is not None, (
             "planar checkpoints need height/width"
         )
-        from svgf_tpu.kernels.planar import PAD_X, PAD_Y
+        from svgf_tpu.kernels.planar import N_PREV_PACKED, PAD_X, PAD_Y
         from svgf_tpu.render.types import GBuffer as GB
 
-        prev = np.asarray(state.planar.prev, np.float32)[
+        prev = np.asarray(state.planar.prev)[
             :, PAD_Y : PAD_Y + height, PAD_X : PAD_X + width
         ]
-        taa = np.asarray(state.planar.taa, np.float32)[
+        if prev.shape[0] == N_PREV_PACKED:
+            # fp16 pair-packed form: split each f32 plane into its two
+            # fp16 halves (little-endian; kernels.planar._PAIRS order)
+            u = prev.astype(np.float32).view(np.uint32)
+            lo16 = (u & 0xFFFF).astype(np.uint16).view(np.float16)
+            hi16 = (u >> 16).astype(np.uint16).view(np.float16)
+            prev = np.stack(
+                [lo16[0], hi16[0], lo16[1], hi16[1], lo16[2],
+                 lo16[3], hi16[3], lo16[4], hi16[2], hi16[4], lo16[5]],
+                axis=0,
+            ).astype(np.float32)
+        prev = prev.astype(np.float32)
+        taa = np.asarray(state.planar.taa)[
             :, PAD_Y : PAD_Y + height, PAD_X : PAD_X + width
         ]
+        if taa.shape[0] == 2:   # fp16 pair-packed ([r|g], [b|a])
+            u = taa.astype(np.float32).view(np.uint32)
+            lo16 = (u & 0xFFFF).astype(np.uint16).view(np.float16)
+            hi16 = (u >> 16).astype(np.uint16).view(np.float16)
+            taa = np.stack([lo16[0], hi16[0], lo16[1], hi16[1]], axis=0)
+        taa = taa.astype(np.float32)
         color = np.concatenate(
             [np.moveaxis(prev[5:8], 0, -1), np.zeros((height, width, 1), np.float32)],
             axis=-1,

@@ -52,8 +52,11 @@ _LUM = (0.2126, 0.7152, 0.0722)
 
 PAD_Y = 40    # >= max a-trous row halo (32 at step 16) + sublane alignment
 PAD_X = 128   # lane-aligned column pad (>= max col halo)
-TH = 128
-TW = 512
+# tile-size caps; make_layout picks exact-fit divisors per resolution (at
+# 1080p the naive 128x512 tiling pads 1080->1152 rows and 1920->2048 cols —
+# 14% of every kernel's compute wasted on padding; 120x384 tiles fit exactly)
+TH_CAP = 128
+TW_CAP = 512
 
 # current-frame plane indices (pack_current)
 C_R, C_G, C_B, C_Z, C_ZD, C_NX, C_NY, C_NZ, C_INST, C_MX, C_MY = range(11)
@@ -72,16 +75,29 @@ BOUND_X_MAX = 127  # col-motion bound ceiling (gather spans 3 lane windows)
 class Layout(NamedTuple):
     h: int
     w: int
-    hp: int      # roundup(h, TH)
-    wp: int      # roundup(w, TW)
+    hp: int      # interior rows (multiple of th)
+    wp: int      # interior cols (multiple of tw)
     hpad: int    # hp + 2*PAD_Y
     wpad: int    # wp + 2*PAD_X
+    th: int      # tile rows (sublane-aligned divisor of hp)
+    tw: int      # tile cols (lane-aligned divisor of wp)
+
+
+def _pick_tile(n: int, unit: int, cap: int) -> tuple[int, int]:
+    """(tile, padded) — the largest `unit`-aligned tile <= cap that divides
+    the `unit`-rounded extent exactly (minimal padding; unit itself always
+    divides, so a tile is always found)."""
+    r = -(-n // unit) * unit
+    for t in range(cap - cap % unit, unit - 1, -unit):
+        if r % t == 0:
+            return t, r
+    return unit, r
 
 
 def make_layout(h: int, w: int) -> Layout:
-    hp = -(-h // TH) * TH
-    wp = -(-w // TW) * TW
-    return Layout(h, w, hp, wp, hp + 2 * PAD_Y, wp + 2 * PAD_X)
+    th, hp = _pick_tile(h, 8, TH_CAP)
+    tw, wp = _pick_tile(w, 128, TW_CAP)
+    return Layout(h, w, hp, wp, hp + 2 * PAD_Y, wp + 2 * PAD_X, th, tw)
 
 
 # ---------------------------------------------------------------------------
@@ -115,54 +131,129 @@ def pack_current(radiance, gbuf, lo: Layout):
 
 def pack_prev_from_state(color, prev_gbuf, moments, history_len, lo: Layout,
                          dtype=jnp.float32):
-    """Legacy (H, W, C) temporal-state fields -> padded planar prev stack.
+    """Legacy (H, W, C) temporal-state fields -> padded planar prev stack
+    (fp16 pair-packed when dtype is float16, like assemble_prev).
 
     Used to ENTER the planar path (frame 0 / resumed legacy checkpoints);
     steady-state frames assemble prev from planar pieces (assemble_prev)."""
-    planes = jnp.stack(
-        [
-            prev_gbuf.depth.astype(jnp.float32),
-            prev_gbuf.instance.astype(jnp.float32),
-            prev_gbuf.normal[..., 0].astype(jnp.float32),
-            prev_gbuf.normal[..., 1].astype(jnp.float32),
-            prev_gbuf.normal[..., 2].astype(jnp.float32),
-            color[..., 0].astype(jnp.float32),
-            color[..., 1].astype(jnp.float32),
-            color[..., 2].astype(jnp.float32),
-            history_len.astype(jnp.float32),
-            moments[..., 0].astype(jnp.float32),
-            moments[..., 1].astype(jnp.float32),
-        ],
-        axis=0,
-    )
+    planes = [
+        prev_gbuf.depth.astype(jnp.float32),
+        prev_gbuf.instance.astype(jnp.float32),
+        prev_gbuf.normal[..., 0].astype(jnp.float32),
+        prev_gbuf.normal[..., 1].astype(jnp.float32),
+        prev_gbuf.normal[..., 2].astype(jnp.float32),
+        color[..., 0].astype(jnp.float32),
+        color[..., 1].astype(jnp.float32),
+        color[..., 2].astype(jnp.float32),
+        history_len.astype(jnp.float32),
+        moments[..., 0].astype(jnp.float32),
+        moments[..., 1].astype(jnp.float32),
+    ]
+    if jnp.dtype(dtype) == jnp.float16:
+        stacked = pack_pairs_f16(planes)   # (6, H, W) f32 pairs
+    else:
+        stacked = jnp.stack(planes, axis=0).astype(dtype)
     return jnp.pad(
-        planes,
+        stacked,
         ((0, 0), (PAD_Y, lo.hpad - PAD_Y - lo.h), (PAD_X, lo.wpad - PAD_X - lo.w)),
-    ).astype(dtype)
+    )
 
 
 def pack_taa_from_state(taa_history, lo: Layout, dtype=jnp.float32):
     planes = jnp.stack([taa_history[..., c].astype(jnp.float32) for c in range(4)])
+    if jnp.dtype(dtype) == jnp.float16:
+        planes = pack_pairs4_f16(planes)
+    else:
+        planes = planes.astype(dtype)
     return jnp.pad(
         planes,
         ((0, 0), (PAD_Y, lo.hpad - PAD_Y - lo.h), (PAD_X, lo.wpad - PAD_X - lo.w)),
-    ).astype(dtype)
+    )
 
 
 def assemble_prev(cur, tout, feedback_rgb, dtype):
     """Next frame's packed prev planes — pure planar plane copies, no
-    transposes (the planar path's replacement for pack_prev_planes)."""
-    return jnp.concatenate(
-        [
-            cur[C_Z : C_Z + 1],
-            cur[C_INST : C_INST + 1],
-            cur[C_NX : C_NZ + 1],
-            feedback_rgb,                    # (3, HPAD, WPAD)
-            tout[T_HIST : T_HIST + 1],
-            tout[T_M1 : T_M2 + 1],
-        ],
-        axis=0,
-    ).astype(dtype)
+    transposes (the planar path's replacement for pack_prev_planes).
+
+    dtype float16 -> the fp16 PAIR-PACKED (6, HPAD, WPAD) f32 layout (the
+    temporal gather then moves 6 channels instead of 11 — reprojection is
+    gather-bound); any other dtype -> plain (11, HPAD, WPAD) planes."""
+    planes = [
+        cur[C_Z], cur[C_INST],
+        cur[C_NX], cur[C_NY], cur[C_NZ],
+        feedback_rgb[0], feedback_rgb[1], feedback_rgb[2],
+        tout[T_HIST], tout[T_M1], tout[T_M2],
+    ]
+    if jnp.dtype(dtype) == jnp.float16:
+        return pack_pairs_f16(planes)
+    return jnp.stack(planes, axis=0).astype(dtype)
+
+
+# fp16 pair packing: two logical prev channels ride one f32 plane (low half
+# = first channel — little-endian bitcast). The reference stores its
+# temporal state fp16 too (App.cu:763-773), so the quantization is the same
+# one the legacy fp16 state path applies; values are finite by construction
+# (depth <= far plane 1000, colours/moments clamped, history <= 255,
+# instance ids exact in fp16 up to 2048).
+_PAIRS = ((P_Z, P_INST), (P_NX, P_NY), (P_NZ, P_HIST),
+          (P_R, P_G), (P_B, P_M1), (P_M2, None))
+N_PREV_PACKED = 6
+
+
+def pack_pairs_f16(planes11):
+    """11 (H, W)-plane list/array -> (6, H, W) f32 of packed fp16 pairs."""
+    outs = []
+    for a, b in _PAIRS:
+        pa = planes11[a].astype(jnp.float16)
+        pb = (
+            planes11[b].astype(jnp.float16)
+            if b is not None
+            else jnp.zeros_like(pa)
+        )
+        outs.append(
+            jax.lax.bitcast_convert_type(
+                jnp.stack([pa, pb], axis=-1), jnp.float32
+            )
+        )
+    return jnp.stack(outs, axis=0)
+
+
+def _f16_bits_to_f32(b):
+    """uint32 tensor of fp16 BIT PATTERNS (low 16 bits) -> exact f32 values.
+    Subnormals handled exactly; inf/nan map to large finite values (inputs
+    are finite by construction, see pack_pairs_f16)."""
+    sign = (b & 0x8000) << 16
+    expo = (b >> 10) & 0x1F
+    mant = b & 0x3FF
+    normal = jax.lax.bitcast_convert_type(
+        (sign | ((expo + 112) << 23) | (mant << 13)).astype(jnp.uint32),
+        jnp.float32,
+    )
+    sgn = jnp.where((b & 0x8000) > 0, -1.0, 1.0)
+    # Mosaic has no uint32 -> f32 cast; mant fits in 10 bits, go via int32
+    subnormal = mant.astype(jnp.int32).astype(jnp.float32) * (
+        sgn * 5.9604644775390625e-8
+    )
+    return jnp.where(expo == 0, subnormal, normal)
+
+
+def _unpack_f16_pair(g):
+    """(..., ) f32 of packed pairs -> (first, second) f32 values."""
+    u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+    return _f16_bits_to_f32(u & 0xFFFF), _f16_bits_to_f32(u >> 16)
+
+
+def pack_pairs4_f16(p4):
+    """(4, H, W) float planes -> (2, H, W) f32 fp16-pair planes ([r|g],
+    [b|a]). Mosaic has no f16 VMEM type, so fp16-quantized state rides f32
+    pair planes everywhere on the planar path."""
+    def pair(a, b):
+        return jax.lax.bitcast_convert_type(
+            jnp.stack([a.astype(jnp.float16), b.astype(jnp.float16)], -1),
+            jnp.float32,
+        )
+
+    return jnp.stack([pair(p4[0], p4[1]), pair(p4[2], p4[3])], axis=0)
 
 
 def unpack_hwc(planes, lo: Layout, n: int | None = None):
@@ -187,7 +278,7 @@ def _temporal_planar_kernel_full(row0_ref, prev_hbm, cur_hbm, alias, out_hbm,
                                  psem, csem, osem,
                                  *, th, tw, h_img, w_img, by, bx, base_off,
                                  depth_threshold, normal_threshold,
-                                 history_base_length, nh, nw):
+                                 history_base_length, nh, nw, packed):
     """One (th, tw) tile: bounded-motion reprojection gather + the full
     temporal math (see kernels.temporal_pallas for the gather design,
     re-laid for the canonical padded planar layout).
@@ -256,7 +347,8 @@ def _temporal_planar_kernel_full(row0_ref, prev_hbm, cur_hbm, alias, out_hbm,
     my_min = jnp.min(jnp.where(gatherable, myc, by))
     my_max = jnp.max(jnp.where(gatherable, myc, -by))
 
-    acc[...] = jnp.zeros((N_PREV, th, tw), jnp.float32)
+    n_ch = N_PREV_PACKED if packed else N_PREV
+    acc[...] = jnp.zeros((n_ch, th, tw), jnp.float32)
     for k in range(tw // 128):
         ck = slice(k * 128, (k + 1) * 128)
         # in-window lane index: tile col k*128 sits at window col
@@ -281,7 +373,7 @@ def _temporal_planar_kernel_full(row0_ref, prev_hbm, cur_hbm, alias, out_hbm,
             def _(dy=dy, ck=ck, win=win, use=use):
                 mask = myc[:, ck] == dy
                 r0 = by + dy
-                for ch in range(N_PREV):
+                for ch in range(n_ch):
                     g = None
                     for wv in range(n_win):
                         gw = jnp.take_along_axis(
@@ -293,36 +385,49 @@ def _temporal_planar_kernel_full(row0_ref, prev_hbm, cur_hbm, alias, out_hbm,
                         g = gw if g is None else jnp.where(use[wv], gw, g)
                     acc[ch, :, ck] = jnp.where(mask, g, acc[ch, :, ck])
 
+    # resolve the 11 logical prev channels (packed: unpack fp16 pairs ONCE
+    # per tile — the gather above moved 6 channels instead of 11)
+    if packed:
+        pz, pinst = _unpack_f16_pair(acc[0])
+        pnx, pny = _unpack_f16_pair(acc[1])
+        pnz, phist = _unpack_f16_pair(acc[2])
+        pr, pg = _unpack_f16_pair(acc[3])
+        pb, pm1 = _unpack_f16_pair(acc[4])
+        pm2, _ = _unpack_f16_pair(acc[5])
+        pv = [pz, pinst, pnx, pny, pnz, pr, pg, pb, phist, pm1, pm2]
+    else:
+        pv = [acc[ch] for ch in range(N_PREV)]
+
     # ---- temporal math (Filter.cuh:359-404) ----
     cur_rgb = [jnp.clip(cur[c], 0.0, 1.0) for c in (C_R, C_G, C_B)]
 
     z_cur = cur[C_Z]
     z_cur = jnp.where(z_cur == 0.0, INVALID_DEPTH, z_cur)
-    z_prev = acc[P_Z]
+    z_prev = pv[P_Z]
     z_prev = jnp.where(z_prev == 0.0, INVALID_DEPTH, z_prev)
     depth_ok = jnp.abs(z_prev - z_cur) <= depth_threshold
-    mesh_ok = cur[C_INST] == acc[P_INST]
+    mesh_ok = cur[C_INST] == pv[P_INST]
     ndot = (
-        cur[C_NX] * acc[P_NX] + cur[C_NY] * acc[P_NY] + cur[C_NZ] * acc[P_NZ]
+        cur[C_NX] * pv[P_NX] + cur[C_NY] * pv[P_NY] + cur[C_NZ] * pv[P_NZ]
     )
     normal_ok = ndot >= normal_threshold
     valid = gatherable & depth_ok & mesh_ok & normal_ok
 
-    hist_prev = acc[P_HIST]
+    hist_prev = pv[P_HIST]
     history = jnp.where(
         valid, jnp.minimum(float(history_base_length), hist_prev + 1.0), 1.0
     )
     alpha = jnp.where(valid, 1.0 / history, 1.0)
 
     lum = _LUM[0] * cur_rgb[0] + _LUM[1] * cur_rgb[1] + _LUM[2] * cur_rgb[2]
-    m1p = jnp.where(valid, acc[P_M1], 0.0)
-    m2p = jnp.where(valid, acc[P_M2], 0.0)
+    m1p = jnp.where(valid, pv[P_M1], 0.0)
+    m2p = jnp.where(valid, pv[P_M2], 0.0)
     m1 = m1p + (lum - m1p) * alpha
     m2 = m2p + (lum * lum - m2p) * alpha
     variance = jnp.maximum(0.0, m2 - m1 * m1)
 
     for c, pch in enumerate((P_R, P_G, P_B)):
-        pc = jnp.where(valid, jnp.clip(acc[pch], 0.0, 1.0), 0.0)
+        pc = jnp.where(valid, jnp.clip(pv[pch], 0.0, 1.0), 0.0)
         out_vmem[c] = jnp.clip(pc + (cur_rgb[c] - pc) * alpha, 0.0, 1.0)
     out_vmem[T_VAR] = jnp.clip(variance, 0.0, 1.0)
     out_vmem[T_M1] = m1
@@ -351,11 +456,15 @@ def temporal_planar(cur, prev, lo: Layout,
                     history_base_length: int,
                     bound: tuple = (8, 63),
                     row0=0, interpret: bool = False):
-    """cur: (11, HPAD, WPAD) f32; prev: (11, HPAD, WPAD) any float dtype.
+    """cur: (11, HPAD, WPAD) f32; prev: (11, HPAD, WPAD) any float dtype OR
+    the (6, HPAD, WPAD) fp16 pair-packed f32 form (assemble_prev with
+    float16 — 6 gathered channels instead of 11).
     Returns (8, HPAD, WPAD) f32 (zero padding intact)."""
     by, bx = bound
     assert by % 8 == 0 or by == 8, "row bound must be sublane-aligned"
     assert 0 < by <= BOUND_Y_MAX and 0 < bx <= BOUND_X_MAX, (by, bx)
+    packed = prev.shape[0] == N_PREV_PACKED
+    n_ch = N_PREV_PACKED if packed else N_PREV
     # bx <= 63: hand the kernel a 64-col-shifted view of prev so the gather
     # index spans exactly TWO aligned lane windows (a third window costs
     # ~50% more gather work); the raised bound uses the canonical layout
@@ -366,16 +475,17 @@ def temporal_planar(cur, prev, lo: Layout,
     else:
         base_off = PAD_X
         prev_in = prev
-    nh, nw = lo.hp // TH, lo.wp // TW
+    nh, nw = lo.hp // lo.th, lo.wp // lo.tw
     out0 = jnp.zeros((N_TOUT, lo.hpad, lo.wpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _temporal_planar_kernel_full,
-            th=TH, tw=TW, h_img=lo.h, w_img=lo.w, by=by, bx=bx,
+            th=lo.th, tw=lo.tw, h_img=lo.h, w_img=lo.w, by=by, bx=bx,
             base_off=base_off,
             depth_threshold=depth_threshold,
             normal_threshold=normal_threshold,
             history_base_length=history_base_length, nh=nh, nw=nw,
+            packed=packed,
         ),
         grid=(nh, nw),
         in_specs=[
@@ -388,10 +498,10 @@ def temporal_planar(cur, prev, lo: Layout,
         out_shape=jax.ShapeDtypeStruct((N_TOUT, lo.hpad, lo.wpad), jnp.float32),
         input_output_aliases={3: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, N_PREV, TH + 2 * by, TW + 2 * base_off), prev.dtype),
-            pltpu.VMEM((2, N_CUR, TH, TW), jnp.float32),
-            pltpu.VMEM((N_PREV, TH, TW), jnp.float32),
-            pltpu.VMEM((N_TOUT, TH, TW), jnp.float32),
+            pltpu.VMEM((2, n_ch, lo.th + 2 * by, lo.tw + 2 * base_off), prev.dtype),
+            pltpu.VMEM((2, N_CUR, lo.th, lo.tw), jnp.float32),
+            pltpu.VMEM((n_ch, lo.th, lo.tw), jnp.float32),
+            pltpu.VMEM((N_TOUT, lo.th, lo.tw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -496,77 +606,62 @@ def _moments_planar_kernel(tout_hbm, cur_hbm, alias, out_hbm,
         pre[8] = sscr[slot, 3]
         pre[9] = sscr[slot, 4]
 
-        # disocclusions are narrow bands (screen edges revealed by the pan,
-        # moving-object fringes), so the 49-tap fallback is gated per
-        # 128-column sub-block — the dy shift copies and tap math then touch
-        # only the columns that actually contain short-history pixels
-        for sb in range(tw // 128):
-            cb = slice(sb * 128, sb * 128 + 128)
+        # whole-tile 49-tap fallback (a per-128-col-sub-block variant was
+        # measured SLOWER: temporal rejections scatter along instance
+        # silhouettes across most sub-blocks, so finer gating only
+        # multiplied code and bookkeeping — r5 profile_planar logs)
+        def ctr(k):
+            return pre[k, ha : ha + th, PAD_X : PAD_X + tw]
 
-            @pl.when(jnp.any(fb_mask[:, cb]))
-            def _(sb=sb, cb=cb):
-                base = PAD_X + sb * 128   # sub-block start in pre coords
+        c_rgb = (ctr(0), ctr(1), ctr(2))
+        c_var = tplane(3)   # pre[3] is moment m1, NOT variance
+        l_c = ctr(5)
+        z_c = ctr(6)
+        zd = splane(1)
+        n_c = (ctr(7), ctr(8), ctr(9))
+        inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-8) * 3.0, approx=False)
+        inv_l = 1.0 / phi_colour
 
-                def ctr(k, cb=cb):
-                    return pre[k, ha : ha + th, base : base + 128]
+        sum_w = jnp.zeros((th, tw), jnp.float32)
+        acc = [jnp.zeros((th, tw), jnp.float32) for _ in range(5)]
 
-                c_rgb = (ctr(0), ctr(1), ctr(2))
-                c_var = tplane(3)[:, cb]   # pre[3] is moment m1, NOT variance
-                l_c = ctr(5)
-                z_c = ctr(6)
-                zd = splane(1)[:, cb]
-                n_c = (ctr(7), ctr(8), ctr(9))
-                inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-8) * 3.0,
-                                       approx=False)
-                inv_l = 1.0 / phi_colour
+        for dy in range(-_RADIUS, _RADIUS + 1):
+            shift[...] = pre[:, ha + dy : ha + dy + th, :]
 
-                sum_w = jnp.zeros((th, 128), jnp.float32)
-                acc = [jnp.zeros((th, 128), jnp.float32) for _ in range(5)]
+            def sp(k, dx):
+                return shift[k, :, PAD_X + dx : PAD_X + dx + tw]
 
-                for dy in range(-_RADIUS, _RADIUS + 1):
-                    # aligned 384-col window covering the +-3 col halo
-                    shift[:, :, 0:384] = pre[
-                        :, ha + dy : ha + dy + th, base - 128 : base + 256
-                    ]
-
-                    def sp(k, dx):
-                        return shift[k, :, 128 + dx : 256 + dx]
-
-                    for dx in range(-_RADIUS, _RADIUS + 1):
-                        l_p = sp(5, dx)
-                        z_p = sp(6, dx)
-                        ndot = (
-                            n_c[0] * sp(7, dx) + n_c[1] * sp(8, dx)
-                            + n_c[2] * sp(9, dx)
-                        )
-                        w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
-                        if dx == 0 and dy == 0:
-                            w_z = jnp.zeros((th, 128), jnp.float32)
-                        else:
-                            inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
-                            w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
-                        w_l = jnp.abs(l_c - l_p) * inv_l
-                        w = jnp.exp(-w_l - w_z) * w_n
-                        sum_w = sum_w + w
-                        acc[0] = acc[0] + w * sp(0, dx)
-                        acc[1] = acc[1] + w * sp(1, dx)
-                        acc[2] = acc[2] + w * sp(2, dx)
-                        acc[3] = acc[3] + w * sp(3, dx)
-                        acc[4] = acc[4] + w * sp(4, dx)
-
-                inv = pl.reciprocal(jnp.maximum(sum_w, 1e-6), approx=False)
-                f_m0 = acc[3] * inv
-                f_m1 = acc[4] * inv
-                hist_b = hist[:, cb]
-                variance = (f_m1 - f_m0 * f_m0) * (
-                    4.0 / jnp.maximum(hist_b, 1.0)
+            for dx in range(-_RADIUS, _RADIUS + 1):
+                l_p = sp(5, dx)
+                z_p = sp(6, dx)
+                ndot = (
+                    n_c[0] * sp(7, dx) + n_c[1] * sp(8, dx)
+                    + n_c[2] * sp(9, dx)
                 )
+                w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
+                if dx == 0 and dy == 0:
+                    w_z = jnp.zeros((th, tw), jnp.float32)
+                else:
+                    inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
+                    w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
+                w_l = jnp.abs(l_c - l_p) * inv_l
+                w = jnp.exp(-w_l - w_z) * w_n
+                sum_w = sum_w + w
+                acc[0] = acc[0] + w * sp(0, dx)
+                acc[1] = acc[1] + w * sp(1, dx)
+                acc[2] = acc[2] + w * sp(2, dx)
+                acc[3] = acc[3] + w * sp(3, dx)
+                acc[4] = acc[4] + w * sp(4, dx)
 
-                use_fb = fb_mask[:, cb]
-                out_vmem[0, :, cb] = jnp.where(use_fb, acc[0] * inv, c_rgb[0])
-                out_vmem[1, :, cb] = jnp.where(use_fb, acc[1] * inv, c_rgb[1])
-                out_vmem[2, :, cb] = jnp.where(use_fb, acc[2] * inv, c_rgb[2])
-                out_vmem[3, :, cb] = jnp.where(use_fb, variance, c_var)
+        inv = pl.reciprocal(jnp.maximum(sum_w, 1e-6), approx=False)
+        f_m0 = acc[3] * inv
+        f_m1 = acc[4] * inv
+        variance = (f_m1 - f_m0 * f_m0) * (4.0 / jnp.maximum(hist, 1.0))
+
+        out_vmem[0] = jnp.where(fb_mask, acc[0] * inv, c_rgb[0])
+        out_vmem[1] = jnp.where(fb_mask, acc[1] * inv, c_rgb[1])
+        out_vmem[2] = jnp.where(fb_mask, acc[2] * inv, c_rgb[2])
+        out_vmem[3] = jnp.where(fb_mask, variance, c_var)
 
     wr = pltpu.make_async_copy(
         out_vmem,
@@ -584,13 +679,13 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
                    phi_normal: float, interpret: bool = False):
     """tout: (8, HPAD, WPAD) f32 temporal output; cur: (11, HPAD, WPAD) f32.
     Returns colour4 (4, HPAD, WPAD) f32 (zero padding intact)."""
-    nh, nw = lo.hp // TH, lo.wp // TW
-    erows = TH + 16
-    ecols = TW + 2 * PAD_X
+    nh, nw = lo.hp // lo.th, lo.wp // lo.tw
+    erows = lo.th + 16
+    ecols = lo.tw + 2 * PAD_X
     out0 = jnp.zeros((4, lo.hpad, lo.wpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(
-            _moments_planar_kernel, th=TH, tw=TW, halo=_RADIUS,
+            _moments_planar_kernel, th=lo.th, tw=lo.tw, halo=_RADIUS,
             phi_colour=phi_colour, phi_normal=phi_normal, nh=nh, nw=nw,
         ),
         grid=(nh, nw),
@@ -606,8 +701,8 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
             pltpu.VMEM((2, 7, erows, ecols), jnp.float32),
             pltpu.VMEM((2, 5, erows, ecols), jnp.float32),
             pltpu.VMEM((10, erows, ecols), jnp.float32),
-            pltpu.VMEM((10, TH, 384), jnp.float32),   # per-sub-block dy shift
-            pltpu.VMEM((4, TH, TW), jnp.float32),
+            pltpu.VMEM((10, lo.th, ecols), jnp.float32),
+            pltpu.VMEM((4, lo.th, lo.tw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -754,29 +849,30 @@ def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
 )
 def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
                            phi_colour: float, phi_normal: float,
-                           interpret: bool = False, shift_mode: str = "auto"):
+                           interpret: bool = False, shift_mode: str = "never"):
     """Full wavelet loop on the canonical layout. colors: (4, HPAD, WPAD)
     f32 (the moments output). Returns (final, feedback) both
     (4, HPAD, WPAD) f32 — feedback is iteration-0's output
-    (Filter.cuh:619-622). shift_mode: "auto" uses the dy row-shift copies
-    for sublane-misaligned steps, "never" reads misaligned directly (A/B
-    knob; scripts/profile_planar.py)."""
+    (Filter.cuh:619-622). shift_mode: "never" (default) reads
+    sublane-misaligned rows directly — measured 10% FASTER than the dy
+    row-shift copies ("auto") on v5e: the kernel is VPU-compute-bound, so
+    the copies only add work (r5 profile_planar A/B)."""
     assert steps >= 1
-    nh, nw = lo.hp // TH, lo.wp // TW
+    nh, nw = lo.hp // lo.th, lo.wp // lo.tw
     bufs = [colors, jnp.zeros_like(colors)]
     feedback = None
     for k in range(steps):
         step = 1 << k
         ha = max(-(-2 * step // 8) * 8, 8)
         assert ha <= PAD_Y
-        eh = TH + 2 * ha
-        ew = TW + 2 * PAD_X
+        eh = lo.th + 2 * ha
+        ew = lo.tw + 2 * PAD_X
         use_shift = (step % 8 != 0) and shift_mode == "auto"
         src, dst = bufs[k % 2], bufs[(k + 1) % 2]
         dst = pl.pallas_call(
             functools.partial(
                 _atrous_planar_kernel, step=step, phi_colour=phi_colour,
-                phi_normal=phi_normal, th=TH, tw=TW, ha=ha, nh=nh, nw=nw,
+                phi_normal=phi_normal, th=lo.th, tw=lo.tw, ha=ha, nh=nh, nw=nw,
                 use_shift=use_shift,
             ),
             grid=(nh, nw),
@@ -792,8 +888,8 @@ def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
                 pltpu.VMEM((2, 4, eh, ew), jnp.float32),
                 pltpu.VMEM((2, 5, eh, ew), jnp.float32),
                 pltpu.VMEM((9, eh, ew), jnp.float32),
-                pltpu.VMEM((9 if use_shift else 1, TH, ew), jnp.float32),
-                pltpu.VMEM((4, TH, TW), jnp.float32),
+                pltpu.VMEM((9 if use_shift else 1, lo.th, ew), jnp.float32),
+                pltpu.VMEM((4, lo.th, lo.tw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
@@ -824,7 +920,7 @@ def _encode(rgb):
 
 def _taa_planar_kernel(atrous_hbm, hist_hbm, alias, out_hbm,
                        ascr, hscr, out_vmem, asem, hsem, osem,
-                       *, th, tw, h_img, w_img, nh, nw):
+                       *, th, tw, h_img, w_img, nh, nw, hist_packed):
     """3x3 YUV clamp + mix + sRGB. The reference reads via imageLoad with
     coordinate CLAMP (Filter.cuh:73-74); the planar buffers are zero-padded,
     so tiles touching an image border replicate the border row/column into
@@ -873,7 +969,9 @@ def _taa_planar_kernel(atrous_hbm, hist_hbm, alias, out_hbm,
     last_j = (w_img - 1) // tw
     lc = (w_img - 1) - last_j * tw + PAD_X
 
-    for scr, nch in ((ascr, 3), (hscr, 4)):
+    # (packed history: the pair planes are edge-replicated directly — a
+    # copied f32 pair copies both fp16 channels)
+    for scr, nch in ((ascr, 3), (hscr, 2 if hist_packed else 4)):
 
         @pl.when(i == 0)
         def _(scr=scr, nch=nch):
@@ -908,6 +1006,13 @@ def _taa_planar_kernel(atrous_hbm, hist_hbm, alias, out_hbm,
             0.0, 1.0,
         )
         for k in range(4)
+    ] if not hist_packed else [
+        jnp.clip(v, 0.0, 1.0)
+        for pair in (
+            _unpack_f16_pair(hscr[slot, 0, ha : ha + th, PAD_X : PAD_X + tw]),
+            _unpack_f16_pair(hscr[slot, 1, ha : ha + th, PAD_X : PAD_X + tw]),
+        )
+        for v in pair
     ]
 
     mix_rate = jnp.minimum(last[3], 0.5)
@@ -972,16 +1077,19 @@ def _taa_planar_kernel(atrous_hbm, hist_hbm, alias, out_hbm,
 
 @functools.partial(jax.jit, static_argnames=("lo", "interpret"))
 def taa_planar(atrous, hist, lo: Layout, interpret: bool = False):
-    """atrous: (4, HPAD, WPAD) f32; hist: (4, HPAD, WPAD) any float dtype.
+    """atrous: (4, HPAD, WPAD) f32; hist: (4, HPAD, WPAD) any float dtype
+    OR the (2, HPAD, WPAD) fp16 pair-packed f32 form (pack_pairs4_f16).
     Returns final (4, HPAD, WPAD) f32 sRGB (zero padding intact)."""
-    nh, nw = lo.hp // TH, lo.wp // TW
-    eh = TH + 16
-    ew = TW + 2 * PAD_X
+    hist_packed = hist.shape[0] == 2
+    n_hist = 2 if hist_packed else 4
+    nh, nw = lo.hp // lo.th, lo.wp // lo.tw
+    eh = lo.th + 16
+    ew = lo.tw + 2 * PAD_X
     out0 = jnp.zeros((4, lo.hpad, lo.wpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(
-            _taa_planar_kernel, th=TH, tw=TW, h_img=lo.h, w_img=lo.w,
-            nh=nh, nw=nw,
+            _taa_planar_kernel, th=lo.th, tw=lo.tw, h_img=lo.h, w_img=lo.w,
+            nh=nh, nw=nw, hist_packed=hist_packed,
         ),
         grid=(nh, nw),
         in_specs=[
@@ -994,8 +1102,8 @@ def taa_planar(atrous, hist, lo: Layout, interpret: bool = False):
         input_output_aliases={2: 0},
         scratch_shapes=[
             pltpu.VMEM((2, 3, eh, ew), jnp.float32),
-            pltpu.VMEM((2, 4, eh, ew), hist.dtype),
-            pltpu.VMEM((4, TH, TW), jnp.float32),
+            pltpu.VMEM((2, n_hist, eh, ew), hist.dtype),
+            pltpu.VMEM((4, lo.th, lo.tw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

@@ -48,14 +48,16 @@ def _planar_chain(radiance, gbuf, state: TemporalState, config: RenderConfig,
 
     h, w = radiance.shape[:2]
     lo = PL.make_layout(h, w)
+    sdtype = jnp.dtype(config.state_dtype)
     if state.planar is not None:
         prev, taa = state.planar.prev, state.planar.taa
     else:
         prev = PL.pack_prev_from_state(
             state.color.astype(jnp.float32), state.gbuffer,
             state.moments.astype(jnp.float32), state.history_len, lo,
+            dtype=sdtype,
         )
-        taa = PL.pack_taa_from_state(state.taa_history, lo)
+        taa = PL.pack_taa_from_state(state.taa_history, lo, dtype=sdtype)
     cur = PL.pack_current(radiance, gbuf, lo)
     out = PL.filter_chain_planar(
         cur, prev, taa, lo, config.svgf,
@@ -262,7 +264,11 @@ def render_frame(scene, state: TemporalState, config: RenderConfig):
                 prev=PL.assemble_prev(
                     cur_planes, pout.tout, pout.feedback[0:3], sdtype
                 ),
-                taa=pout.final4.astype(sdtype),
+                taa=(
+                    PL.pack_pairs4_f16(pout.final4)
+                    if sdtype == jnp.float16
+                    else pout.final4.astype(sdtype)
+                ),
             ),
         )
         metrics = FrameMetrics(

@@ -92,18 +92,25 @@ class TemporalState(NamedTuple):
 
     @staticmethod
     def initial_planar(h: int, w: int, dtype=jnp.float16) -> "TemporalState":
-        """Planar-native initial state (legacy image fields omitted)."""
-        from svgf_tpu.kernels.planar import make_layout
+        """Planar-native initial state (legacy image fields omitted).
+
+        float16 state stores the packed-pair prev form (6 f32 planes of
+        fp16 pairs — kernels.planar.pack_pairs_f16; zero pairs are zero
+        values, so the zero init is exact)."""
+        from svgf_tpu.kernels.planar import N_PREV_PACKED, make_layout
 
         lo = make_layout(h, w)
+        if jnp.dtype(dtype) == jnp.float16:
+            prev = jnp.zeros((N_PREV_PACKED, lo.hpad, lo.wpad), jnp.float32)
+            taa = jnp.zeros((2, lo.hpad, lo.wpad), jnp.float32)  # fp16 pairs
+        else:
+            prev = jnp.zeros((11, lo.hpad, lo.wpad), dtype)
+            taa = jnp.zeros((4, lo.hpad, lo.wpad), dtype)
         return TemporalState(
             color=None, moments=None, history_len=None, taa_history=None,
             gbuffer=None,
             frame_idx=jnp.int32(0),
-            planar=PlanarState(
-                prev=jnp.zeros((11, lo.hpad, lo.wpad), dtype),
-                taa=jnp.zeros((4, lo.hpad, lo.wpad), dtype),
-            ),
+            planar=PlanarState(prev=prev, taa=taa),
         )
 
 

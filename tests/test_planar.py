@@ -176,6 +176,46 @@ def test_planar_render_frame_two_frames_matches_xla():
         )
 
 
+def test_planar_packed_fp16_state_matches_xla():
+    """Production state dtype (fp16): the planar path carries the
+    PAIR-PACKED prev form (6 f32 planes of fp16 pairs); the XLA path stores
+    its legacy fields at fp16. Both quantize the carried state identically,
+    so frame-2 results agree to reassociation tolerance — this pins the
+    in-kernel fp16 bit-unpack (kernels.planar._f16_bits_to_f32) exactly."""
+    scene = cornell_box(aspect=W / H)
+    scene.cameras[0].aspect = W / H
+    arrays = scene.flatten()
+
+    cfg_p = make_config(use_pallas="interpret", planar_chain=True,
+                        use_pallas_intersect="off")
+    cfg_p = dataclasses.replace(cfg_p, state_dtype="float16")
+    cfg_x = dataclasses.replace(make_config(use_pallas="off"),
+                                state_dtype="float16")
+
+    def run(cfg, state0):
+        step = jax.jit(lambda s: render_frame(arrays, s, cfg))
+        out1, st = step(state0)
+        step2 = jax.jit(lambda s: render_frame(arrays, s, cfg))
+        out2, st = step2(st)
+        return out2
+
+    out2p = run(cfg_p, TemporalState.initial_planar(H, W, jnp.float16))
+    out2x = run(cfg_x, TemporalState.initial(H, W, jnp.float16))
+
+    from svgf_tpu.kernels.planar import N_PREV_PACKED  # packed form in use
+    st0 = TemporalState.initial_planar(H, W, jnp.float16)
+    assert st0.planar.prev.shape[0] == N_PREV_PACKED
+
+    for tap in ("temporal", "moments_filtered", "atrous"):
+        d = np.abs(
+            np.asarray(getattr(out2p, tap)) - np.asarray(getattr(out2x, tap))
+        )
+        assert d.mean() < 2e-4, (tap, d.mean())
+        assert (d > 2e-2).mean() == 0.0, (tap, d.max())
+    d = np.abs(np.asarray(out2p.final) - np.asarray(out2x.final))
+    assert d.mean() < 2e-4 and (d > 2e-2).mean() == 0.0
+
+
 def test_planar_checkpoint_roundtrip(tmp_path):
     """Planar state -> mode-agnostic checkpoint -> legacy state resume."""
     from svgf_tpu.io import load_checkpoint, save_checkpoint

@@ -42,6 +42,9 @@ def make_config():
     return RenderConfig(
         width=W, height=H, state_dtype="float32",
         use_pallas="interpret",              # production kernels, CPU interpreter
+        planar_chain=False,   # compare the per-stage kernels (the band path's
+                              # twins) — the planar chain has its own parity
+                              # suite (tests/test_planar.py)
         svgf=SVGFConfig(spatial_filter_steps=3),
         tracing=TracingConfig(bounces=2),
     )
