@@ -521,9 +521,10 @@ _RADIUS = 3
 
 
 def _moments_planar_kernel(tout_hbm, cur_hbm, alias, out_hbm,
-                           tscr, sscr, pre, shift, out_vmem,
+                           tscr, sscr, pre, out_vmem,
                            tsem, ssem, osem,
-                           *, th, tw, halo, phi_colour, phi_normal, nh, nw):
+                           *, th, tw, gh, halo, phi_colour, phi_normal,
+                           nh, nw):
     """Reads the temporal output (7 planes: rgb var m1 m2 hist) and the
     static planes cur[C_Z:C_NZ+1] (z zd nx ny nz) with an 8-row/128-col DMA
     halo; same 49-tap math + tile short-circuit as moments_pallas."""
@@ -606,62 +607,104 @@ def _moments_planar_kernel(tout_hbm, cur_hbm, alias, out_hbm,
         pre[8] = sscr[slot, 3]
         pre[9] = sscr[slot, 4]
 
-        # whole-tile 49-tap fallback (a per-128-col-sub-block variant was
-        # measured SLOWER: temporal rejections scatter along instance
-        # silhouettes across most sub-blocks, so finer gating only
-        # multiplied code and bookkeeping — r5 profile_planar logs)
-        def ctr(k):
-            return pre[k, ha : ha + th, PAD_X : PAD_X + tw]
-
-        c_rgb = (ctr(0), ctr(1), ctr(2))
-        c_var = tplane(3)   # pre[3] is moment m1, NOT variance
-        l_c = ctr(5)
-        z_c = ctr(6)
-        zd = splane(1)
-        n_c = (ctr(7), ctr(8), ctr(9))
-        inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-8) * 3.0, approx=False)
+        # 49-tap fallback gated per ROW GROUP inside a fori_loop: temporal
+        # rejections form thin horizontal silhouette strips + narrow
+        # vertical disocclusion bands, so most row groups of a triggered
+        # tile have no short-history pixel at all. A single traced loop
+        # body (dynamic sublane offsets) avoids the code-bloat that made a
+        # statically-unrolled sub-block variant SLOWER (r5 profile logs).
         inv_l = 1.0 / phi_colour
 
-        sum_w = jnp.zeros((th, tw), jnp.float32)
-        acc = [jnp.zeros((th, tw), jnp.float32) for _ in range(5)]
+        # STATIC unroll over row groups: Mosaic requires statically
+        # 8-aligned sublane offsets, and the +-3-row tap reads are
+        # misaligned by construction — only static offsets may be so.
+        def cell(g, s0):
+            """49-tap fallback on one (gh x 128) cell — gated 2-D: thin
+            horizontal silhouette strips activate one ROW group, narrow
+            vertical disocclusion bands one COLUMN block, so most cells of
+            a triggered tile skip entirely."""
+            r0 = g * gh                       # tile-relative group start
+            c0 = s0 * 128
+            rows = slice(ha + r0, ha + r0 + gh)
+            cols = slice(PAD_X + c0, PAD_X + c0 + 128)
+            hist_g = tscr[slot, 6, rows, cols]
+            z_g = sscr[slot, 0, rows, cols]
+            use_g = (hist_g < 4.0) & ~(z_g == 0.0)
 
-        for dy in range(-_RADIUS, _RADIUS + 1):
-            shift[...] = pre[:, ha + dy : ha + dy + th, :]
+            @pl.when(jnp.any(use_g))
+            def _():
+                def ctr(k):
+                    return pre[k, rows, cols]
 
-            def sp(k, dx):
-                return shift[k, :, PAD_X + dx : PAD_X + dx + tw]
+                c_rgb = (ctr(0), ctr(1), ctr(2))
+                # pre[3] is moment m1, NOT variance
+                c_var = tscr[slot, 3, rows, cols]
+                l_c = ctr(5)
+                z_c = ctr(6)
+                zd = sscr[slot, 1, rows, cols]
+                n_c = (ctr(7), ctr(8), ctr(9))
+                inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-8) * 3.0,
+                                       approx=False)
+                inv_pd_d = {
+                    d2: inv_pd * float(1.0 / d2 ** 0.5)
+                    for d2 in (1, 2, 4, 5, 8, 9, 10, 13, 18)
+                }
 
-            for dx in range(-_RADIUS, _RADIUS + 1):
-                l_p = sp(5, dx)
-                z_p = sp(6, dx)
-                ndot = (
-                    n_c[0] * sp(7, dx) + n_c[1] * sp(8, dx)
-                    + n_c[2] * sp(9, dx)
+                sum_w = jnp.zeros((gh, 128), jnp.float32)
+                acc = [jnp.zeros((gh, 128), jnp.float32) for _ in range(5)]
+
+                for dy in range(-_RADIUS, _RADIUS + 1):
+
+                    def sp(k, dx, dy=dy):
+                        return pre[k, ha + r0 + dy : ha + r0 + dy + gh,
+                                   PAD_X + c0 + dx : PAD_X + c0 + dx + 128]
+
+                    for dx in range(-_RADIUS, _RADIUS + 1):
+                        l_p = sp(5, dx)
+                        z_p = sp(6, dx)
+                        ndot = (
+                            n_c[0] * sp(7, dx) + n_c[1] * sp(8, dx)
+                            + n_c[2] * sp(9, dx)
+                        )
+                        w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
+                        if dx == 0 and dy == 0:
+                            w_z = jnp.zeros((gh, 128), jnp.float32)
+                        else:
+                            w_z = jnp.abs(z_c - z_p) * inv_pd_d[
+                                dx * dx + dy * dy
+                            ]
+                        w_l = jnp.abs(l_c - l_p) * inv_l
+                        w = jnp.exp(-w_l - w_z) * w_n
+                        sum_w = sum_w + w
+                        acc[0] = acc[0] + w * sp(0, dx)
+                        acc[1] = acc[1] + w * sp(1, dx)
+                        acc[2] = acc[2] + w * sp(2, dx)
+                        acc[3] = acc[3] + w * sp(3, dx)
+                        acc[4] = acc[4] + w * sp(4, dx)
+
+                inv = pl.reciprocal(jnp.maximum(sum_w, 1e-6), approx=False)
+                f_m0 = acc[3] * inv
+                f_m1 = acc[4] * inv
+                variance = (f_m1 - f_m0 * f_m0) * (
+                    4.0 / jnp.maximum(hist_g, 1.0)
                 )
-                w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
-                if dx == 0 and dy == 0:
-                    w_z = jnp.zeros((th, tw), jnp.float32)
-                else:
-                    inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
-                    w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
-                w_l = jnp.abs(l_c - l_p) * inv_l
-                w = jnp.exp(-w_l - w_z) * w_n
-                sum_w = sum_w + w
-                acc[0] = acc[0] + w * sp(0, dx)
-                acc[1] = acc[1] + w * sp(1, dx)
-                acc[2] = acc[2] + w * sp(2, dx)
-                acc[3] = acc[3] + w * sp(3, dx)
-                acc[4] = acc[4] + w * sp(4, dx)
 
-        inv = pl.reciprocal(jnp.maximum(sum_w, 1e-6), approx=False)
-        f_m0 = acc[3] * inv
-        f_m1 = acc[4] * inv
-        variance = (f_m1 - f_m0 * f_m0) * (4.0 / jnp.maximum(hist, 1.0))
+                out_vmem[0, r0 : r0 + gh, c0 : c0 + 128] = jnp.where(
+                    use_g, acc[0] * inv, c_rgb[0]
+                )
+                out_vmem[1, r0 : r0 + gh, c0 : c0 + 128] = jnp.where(
+                    use_g, acc[1] * inv, c_rgb[1]
+                )
+                out_vmem[2, r0 : r0 + gh, c0 : c0 + 128] = jnp.where(
+                    use_g, acc[2] * inv, c_rgb[2]
+                )
+                out_vmem[3, r0 : r0 + gh, c0 : c0 + 128] = jnp.where(
+                    use_g, variance, c_var
+                )
 
-        out_vmem[0] = jnp.where(fb_mask, acc[0] * inv, c_rgb[0])
-        out_vmem[1] = jnp.where(fb_mask, acc[1] * inv, c_rgb[1])
-        out_vmem[2] = jnp.where(fb_mask, acc[2] * inv, c_rgb[2])
-        out_vmem[3] = jnp.where(fb_mask, variance, c_var)
+        for g in range(th // gh):
+            for s0 in range(tw // 128):
+                cell(g, s0)
 
     wr = pltpu.make_async_copy(
         out_vmem,
@@ -679,13 +722,14 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
                    phi_normal: float, interpret: bool = False):
     """tout: (8, HPAD, WPAD) f32 temporal output; cur: (11, HPAD, WPAD) f32.
     Returns colour4 (4, HPAD, WPAD) f32 (zero padding intact)."""
+    gh = next(g for g in (24, 32, 40, 16, 8, lo.th) if lo.th % g == 0)
     nh, nw = lo.hp // lo.th, lo.wp // lo.tw
     erows = lo.th + 16
     ecols = lo.tw + 2 * PAD_X
     out0 = jnp.zeros((4, lo.hpad, lo.wpad), jnp.float32)
     return pl.pallas_call(
         functools.partial(
-            _moments_planar_kernel, th=lo.th, tw=lo.tw, halo=_RADIUS,
+            _moments_planar_kernel, th=lo.th, tw=lo.tw, gh=gh, halo=_RADIUS,
             phi_colour=phi_colour, phi_normal=phi_normal, nh=nh, nw=nw,
         ),
         grid=(nh, nw),
@@ -701,7 +745,6 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
             pltpu.VMEM((2, 7, erows, ecols), jnp.float32),
             pltpu.VMEM((2, 5, erows, ecols), jnp.float32),
             pltpu.VMEM((10, erows, ecols), jnp.float32),
-            pltpu.VMEM((10, lo.th, ecols), jnp.float32),
             pltpu.VMEM((4, lo.th, lo.tw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -793,6 +836,11 @@ def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
         phi_colour * jnp.sqrt(jnp.maximum(0.0, 1e-10 + c_var)), approx=False
     )
     inv_pd = pl.reciprocal(jnp.maximum(zd, 1e-6) * step, approx=False)
+    # the kernel is VPU-op-bound: pre-scale inv_pd by the 5 distinct tap
+    # distances once per tile (saves one multiply per tap per pixel)
+    inv_pd_d = {
+        d2: inv_pd * float(1.0 / d2 ** 0.5) for d2 in (1, 2, 4, 5, 8)
+    }
 
     sum_w = jnp.ones((th, tw), jnp.float32)
     acc = [c_rgb[0], c_rgb[1], c_rgb[2], c_var]
@@ -817,8 +865,7 @@ def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
             z_p = sp(5, ox)
             ndot = n_c[0] * sp(6, ox) + n_c[1] * sp(7, ox) + n_c[2] * sp(8, ox)
             w_n = _pow(jnp.clip(ndot, 0.0, 1.0), phi_normal)
-            inv_dist = float(1.0 / (dx * dx + dy * dy) ** 0.5)
-            w_z = jnp.abs(z_c - z_p) * inv_pd * inv_dist
+            w_z = jnp.abs(z_c - z_p) * inv_pd_d[dx * dx + dy * dy]
             w_l = jnp.abs(l_c - l_p) * inv_l
             k1d = _KERNEL_1D[abs(dx)] * _KERNEL_1D[abs(dy)]
             w = jnp.exp(-w_l - w_z) * w_n * k1d
@@ -854,9 +901,10 @@ def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
     f32 (the moments output). Returns (final, feedback) both
     (4, HPAD, WPAD) f32 — feedback is iteration-0's output
     (Filter.cuh:619-622). shift_mode: "never" (default) reads
-    sublane-misaligned rows directly — measured 10% FASTER than the dy
-    row-shift copies ("auto") on v5e: the kernel is VPU-compute-bound, so
-    the copies only add work (r5 profile_planar A/B)."""
+    sublane-misaligned rows directly; "auto" uses dy row-shift copies for
+    misaligned steps. A/B on v5e (r5): within-process comparisons show the
+    two within noise at exact-fit tiles; direct reads avoid the copy's VMEM
+    traffic and won at the 128x512 tiling."""
     assert steps >= 1
     nh, nw = lo.hp // lo.th, lo.wp // lo.tw
     bufs = [colors, jnp.zeros_like(colors)]
