@@ -302,16 +302,22 @@ def pathtrace(
         if _ACTIVE_PROBE is not None:
             _ACTIVE_PROBE.append(state.active)
         if b + 1 < bounces:
-            retrace = state.active & ~has_next
-            traced = intersect_scene(scene, state.ro, state.rd, active=retrace)
-            nrays = nrays + jnp.sum(retrace.astype(jnp.int32))
-            hit = jax.tree.map(
-                lambda a, t: jnp.where(
-                    has_next if a.ndim == 1 else has_next[..., None], a, t
-                ),
-                next_hit,
-                traced,
-            )
+            if has_next is None:
+                # MIS: _bounce_mis already traced every active lane's next
+                # ray inside its batched intersect — no re-trace step
+                hit = next_hit
+            else:
+                retrace = state.active & ~has_next
+                traced = intersect_scene(scene, state.ro, state.rd,
+                                         active=retrace)
+                nrays = nrays + jnp.sum(retrace.astype(jnp.int32))
+                hit = jax.tree.map(
+                    lambda a, t: jnp.where(
+                        has_next if a.ndim == 1 else has_next[..., None], a, t
+                    ),
+                    next_hit,
+                    traced,
+                )
 
     radiance = state.radiance
     radiance = jnp.where(
@@ -506,17 +512,93 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         shade & ~delta & ~l_zero & ~b_zero & (bpdf_b > 0)
         & jnp.any(bsdf_b != 0.0, axis=-1)
     )
-    nrays = nrays + jnp.sum(pre_b.astype(jnp.int32))
+    # the NEXT bounce flies dir_b for EVERY continuing non-delta lane, even
+    # when the MIS contribution is zero (bpdf<=0 / zero BSDF — the reference
+    # keeps the sampled direction, :261-284), so the traced set is the
+    # superset trace_b and mis_hit IS the next bounce's hit — no re-trace.
+    trace_b = shade & ~delta & ~l_zero & ~b_zero
+    nrays = nrays + jnp.sum(trace_b.astype(jnp.int32))
 
-    # ---- ONE batched intersect for both ray sets (shadow | MIS sample) ----
-    hit2 = intersect_scene(
-        scene,
-        jnp.concatenate([shifted_l, shifted_b], axis=0),
-        jnp.concatenate([dir_l, dir_b], axis=0),
-        active=jnp.concatenate([pre_l, pre_b], axis=0),
+    # ---------------- delta branch (PathTrace.cuh:286-292) --------------
+    # (moved before the batched trace: the trace consumes no randomness and
+    # RNG sites depend only on uniform() call ORDER, which is unchanged)
+    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)), scene.meta.mat_types_used)
+    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d, scene.meta.mat_types_used)
+    w_delta = weight * B.eval_delta(mp, normal, outgoing, dir_d, scene.meta.mat_types_used) / jnp.maximum(
+        pdf_d, 1e-18
+    )[..., None]
+    d_zero = jnp.all(dir_d == 0.0, axis=-1)
+
+    # ---------------- merge directions (pre-trace) ----------------------
+    incoming = jnp.where(delta[..., None], dir_d, dir_b)
+    # lanes break when their sampled direction is zero (:241,:264)
+    broke = jnp.where(delta, d_zero, b_zero | l_zero)
+    new_ro = _offset_origin(position, normal, incoming)
+
+    in_volume = state.in_volume
+    vol_density, vol_scattering, vol_anisotropy = (
+        state.vol_density, state.vol_scattering, state.vol_anisotropy
     )
-    shadow = jax.tree.map(lambda x: x[:R], hit2)
-    mis_hit = jax.tree.map(lambda x: x[R:], hit2)
+    vw = None
+    if scene.meta.has_media:
+        # volume-stack toggle on transmissive crossings (PathTrace.cuh:295-302)
+        enter = (
+            shade & ~broke & B.is_volumetric(mp)
+            & (dot(normal, outgoing) * dot(normal, incoming) < 0)
+        )
+        in_volume = jnp.where(enter, ~state.in_volume, state.in_volume)
+        vol_density = jnp.where(enter[..., None], mp.density, vol_density)
+        vol_scattering = jnp.where(enter[..., None], mp.scattering, vol_scattering)
+        vol_anisotropy = jnp.where(enter, mp.anisotropy, vol_anisotropy)
+
+        # in-volume scatter event replaces the surface interaction
+        vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
+        # sample_lights_pdf in the scatter event re-traces every area light
+        # over all R lanes (only_instance walks, Common.cuh:635-715)
+        nrays = nrays + _n_area_lights(scene) * R
+        incoming = jnp.where(stay[..., None], vdir, incoming)
+        new_ro = jnp.where(stay[..., None], vpos, new_ro)
+        broke = jnp.where(stay, vbroke, broke)
+
+    if scene.meta.has_opacity:
+        # pass through the surface, direction unchanged (PathTrace.cuh:222-226)
+        incoming = jnp.where(passthrough[..., None], state.rd, incoming)
+        new_ro = jnp.where(
+            passthrough[..., None], position + state.rd * 1e-2, new_ro
+        )
+        broke = jnp.where(passthrough, False, broke)
+
+    # ---- ONE batched intersect: [NEE shadow | bsdf sample | other-next].
+    # Segment 3 exists only for scenes that can produce delta / in-volume /
+    # pass-through continuation rays (static meta flags); everywhere else
+    # the bsdf segment IS the next bounce's hit.
+    needs_seg3 = (
+        scene.meta.has_media
+        or scene.meta.has_opacity
+        or any(t in scene.meta.mat_types_used
+               for t in (B.PBR, B.GLASS, B.VOLUMETRIC))
+    )
+    if needs_seg3:
+        seg3 = act & ~broke & (delta | stay | passthrough)
+        nrays = nrays + jnp.sum(seg3.astype(jnp.int32))
+        hitN = intersect_scene(
+            scene,
+            jnp.concatenate([shifted_l, shifted_b, new_ro], axis=0),
+            jnp.concatenate([dir_l, dir_b, incoming], axis=0),
+            active=jnp.concatenate([pre_l, trace_b, seg3], axis=0),
+        )
+        seg3_hit = jax.tree.map(lambda x: x[2 * R :], hitN)
+    else:
+        seg3 = None
+        hitN = intersect_scene(
+            scene,
+            jnp.concatenate([shifted_l, shifted_b], axis=0),
+            jnp.concatenate([dir_l, dir_b], axis=0),
+            active=jnp.concatenate([pre_l, trace_b], axis=0),
+        )
+        seg3_hit = None
+    shadow = jax.tree.map(lambda x: x[:R], hitN)
+    mis_hit = jax.tree.map(lambda x: x[R : 2 * R], hitN)
 
     lpdf_l = sample_lights_pdf_from_hit(scene, shifted_l, dir_l, shadow)
     bpdf_l = B.sample_bsdf_cos_pdf(mp, normal, outgoing, dir_l, scene.meta.mat_types_used)
@@ -565,58 +647,16 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         safe_b, jnp.maximum(bpdf_b, 1e-18), 1.0
     )[..., None]
 
-    # ---------------- delta branch (PathTrace.cuh:286-292) --------------
-    dir_d = B.sample_delta(mp, normal, outgoing, rng.uniform((R,)), scene.meta.mat_types_used)
-    pdf_d = B.sample_delta_pdf(mp, normal, outgoing, dir_d, scene.meta.mat_types_used)
-    w_delta = weight * B.eval_delta(mp, normal, outgoing, dir_d, scene.meta.mat_types_used) / jnp.maximum(
-        pdf_d, 1e-18
-    )[..., None]
-    d_zero = jnp.all(dir_d == 0.0, axis=-1)
-
-    # ---------------- merge + ray update --------------------------------
-    incoming = jnp.where(delta[..., None], dir_d, dir_b)
+    # ---------------- weight / flag merge (post-trace) ------------------
     new_weight = jnp.where(
         delta[..., None], w_delta, jnp.where(mis_cond[..., None], w_bsdf, weight)
     )
-    # lanes break when their sampled direction is zero (:241,:264)
-    broke = jnp.where(delta, d_zero, b_zero | l_zero)
     use_mis = jnp.where(delta, False, mis_cond)
-    new_ro = _offset_origin(position, normal, incoming)
-
-    in_volume = state.in_volume
-    vol_density, vol_scattering, vol_anisotropy = (
-        state.vol_density, state.vol_scattering, state.vol_anisotropy
-    )
     if scene.meta.has_media:
-        # volume-stack toggle on transmissive crossings (PathTrace.cuh:295-302)
-        enter = (
-            shade & ~broke & B.is_volumetric(mp)
-            & (dot(normal, outgoing) * dot(normal, incoming) < 0)
-        )
-        in_volume = jnp.where(enter, ~state.in_volume, state.in_volume)
-        vol_density = jnp.where(enter[..., None], mp.density, vol_density)
-        vol_scattering = jnp.where(enter[..., None], mp.scattering, vol_scattering)
-        vol_anisotropy = jnp.where(enter, mp.anisotropy, vol_anisotropy)
-
-        # in-volume scatter event replaces the surface interaction
-        vpos, vdir, vw, vbroke = _volume_scatter(scene, state, vol_dist, rng)
-        # sample_lights_pdf in the scatter event re-traces every area light
-        # over all R lanes (only_instance walks, Common.cuh:635-715)
-        nrays = nrays + _n_area_lights(scene) * R
-        incoming = jnp.where(stay[..., None], vdir, incoming)
         new_weight = jnp.where(stay[..., None], state.weight * vw, new_weight)
-        new_ro = jnp.where(stay[..., None], vpos, new_ro)
-        broke = jnp.where(stay, vbroke, broke)
         use_mis = jnp.where(stay, False, use_mis)
-
     if scene.meta.has_opacity:
-        # pass through the surface, direction unchanged (PathTrace.cuh:222-226)
-        incoming = jnp.where(passthrough[..., None], state.rd, incoming)
         new_weight = jnp.where(passthrough[..., None], state.weight, new_weight)
-        new_ro = jnp.where(
-            passthrough[..., None], position + state.rd * 1e-2, new_ro
-        )
-        broke = jnp.where(passthrough, False, broke)
         use_mis = jnp.where(passthrough, False, use_mis)
 
     active = act & ~broke
@@ -632,8 +672,18 @@ def _bounce_mis(scene, state: PathState, hit: Hit, rng: RngStream, bounce: int):
         vol_scattering=vol_scattering,
         vol_anisotropy=vol_anisotropy,
     )
-    has_next = new_state.active & use_mis
-    return new_state, mis_hit, has_next, nrays
+    # every active lane's next hit is already traced: dir_b lanes reuse the
+    # MIS segment (new_ro == shifted_b, incoming == dir_b for them — the
+    # identical ray), delta/volume/pass-through lanes come from segment 3.
+    if needs_seg3:
+        m3 = delta | stay | passthrough
+        next_hit = jax.tree.map(
+            lambda a, b: jnp.where(m3 if a.ndim == 1 else m3[..., None], a, b),
+            seg3_hit, mis_hit,
+        )
+    else:
+        next_hit = mis_hit
+    return new_state, next_hit, None, nrays
 
 
 def _n_area_lights(scene) -> int:
