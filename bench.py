@@ -301,7 +301,9 @@ def bench_trace(w, h, fetch_overhead):
         width=w, height=h,
         tracing=TracingConfig(batch=1, bounces=3, clamp=10.0),
         svgf=SVGFConfig(spatial_filter_steps=5),
-        trace_chunks=8,   # r4 sweep optimum (scripts/profile_trace.py)
+        trace_chunks=48,  # r5 sweep optimum (scripts/profile_trace.py;
+                          # small wavefronts win since the single-
+                          # batched-intersect bounce rework)
         state_dtype="float16",
         keep_taps=False,   # perf path: don't keep every stage live (config.py)
     )

@@ -119,20 +119,27 @@ def _kernel(tri_ref, ro_ref, rd_ref, ta_ref, out_ref, *, n_chunks, tc):
         jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _intersect_rays(tri13, ro, rd, t0, act, interpret=False):
+@functools.partial(jax.jit, static_argnames=("t_real", "interpret"))
+def _intersect_rays(tri13, ro, rd, t0, act, t_real=None, interpret=False):
     """Nearest valid hit per ray + the winner's vertex/id rows.
 
     tri13: (13, T) packed [v0-v2 xyz | valid prim inst mat] with T a
     multiple of 128; ro/rd (R,3); t0 (R,); act (R,) f32 — fully-inactive
-    ray tiles are skipped. Returns (t, u, v, w9 (9, R), prim, inst, mat).
+    ray tiles are skipped. t_real (static): the REAL triangle count — the
+    MT loop covers only ceil(t_real/8)*8 columns, so tiny scenes (Cornell:
+    36 tris in a 128-col soup) don't burn 3x their ray-triangle work on
+    padding. Returns (t, u, v, w9 (9, R), prim, inst, mat).
     """
     T = tri13.shape[1]
     R = ro.shape[0]
-    tc = _TC if T >= _TC else T      # T is a multiple of 128 (soup padding)
-    n_chunks = -(-T // tc)
+    if t_real is not None and 0 < t_real < T:
+        t_eff = min(T, -(-t_real // 8) * 8)
+    else:
+        t_eff = T
+    tc = _TC if t_eff >= _TC else t_eff
+    n_chunks = -(-t_eff // tc)
     tpad = n_chunks * tc - T
-    if tpad:
+    if tpad > 0:
         tri13 = jnp.concatenate(
             [tri13, jnp.zeros((13, tpad), tri13.dtype)], axis=1
         )
@@ -590,7 +597,7 @@ def intersect_dense_pallas(scene, ro, rd, active=None, any_hit=False,
     tb, _, _, w9, prim_id, inst_id, mat_id = _intersect_rays(
         jax.lax.stop_gradient(tri13),
         jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
-        t0, act, interpret=interpret,
+        t0, act, t_real=int(scene.meta.n_world_tris), interpret=interpret,
     )
     ok = tb < t0
 

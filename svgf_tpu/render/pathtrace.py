@@ -131,9 +131,30 @@ def _shading_point(scene, hit: Hit, outgoing) -> _Shade:
 
 
 def _emission_at_hit(scene, hit: Hit, outgoing):
-    """EvalEmission at a secondary hit (NEE branch, PathTrace.cuh:253-256)."""
-    sh = _shading_point(scene, hit, outgoing)
-    return B.eval_emission(sh.mp, sh.normal, outgoing)
+    """EvalEmission at a secondary hit (NEE branch, PathTrace.cuh:253-256).
+
+    Without textures only the shading normal and mat_emission matter, so
+    this skips the full _shading_point (position transform, colour /
+    roughness / density derivation) — the same normal-interp + flip +
+    orientation-test math, ~half the per-bounce gather cost."""
+    if scene.meta.textures_enabled:
+        sh = _shading_point(scene, hit, outgoing)
+        return B.eval_emission(sh.mp, sh.normal, outgoing)
+    from svgf_tpu.ops.gather import take_rows_int, take_rows_multi
+
+    prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
+    inst = jnp.clip(hit.instance, 0, scene.inst_shape.shape[0] - 1)
+    mat = jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1)
+    (tn,) = take_rows_multi((scene.tri_nrm,), prim)
+    (m_n,) = take_rows_multi((scene.inst_normal_transform,), inst)
+    w0 = (1.0 - hit.u - hit.v)[..., None]
+    n_obj = tn[:, 1] * hit.u[..., None] + tn[:, 2] * hit.v[..., None] + tn[:, 0] * w0
+    n = normalize(transform_vector(m_n, n_obj))
+    mtype = take_rows_int(scene.mat_type, mat)
+    flip = (dot(n, outgoing) < 0) & (mtype != B.GLASS)
+    n = jnp.where(flip[..., None], -n, n)
+    (emission,) = take_rows_multi((scene.mat_emission,), mat)
+    return jnp.where((dot(n, outgoing) >= 0)[..., None], emission, 0.0)
 
 
 def _offset_origin(position, normal, incoming):
