@@ -91,12 +91,13 @@ def main():
         img = np.asarray(step(jnp.asarray(frame, jnp.float32)))
         return float(np.mean(((img - target_s) ** 2) * mask_s))
 
-    # stage 1: coarse orbit grid around the object cluster
+    # stage 1: coarse orbit grid around the object cluster (the gallery
+    # shot is a WIDE view — the cluster fills ~1/3 of the frame height)
     best = (1e9, None, None)
     targets = [(0.4, 0.3, 0.0), (0.8, 0.3, 0.0), (0.6, 0.6, 0.0)]
     n_evals = 0
     for (tx, ty, tz), d, ey, ex in itertools.product(
-        targets, (3.5, 4.5, 5.5, 6.5), (0.8, 1.4, 2.0), (-1.0, 0.0, 1.0)
+        targets, (4.5, 6.0, 7.5, 9.0, 11.0), (1.0, 1.8, 2.6), (-1.5, 0.0, 1.5)
     ):
         eye = [tx + ex, ey, tz + d]
         f = look_at_frame(eye=eye, target=[tx, ty, tz])
