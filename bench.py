@@ -185,7 +185,10 @@ def main():
         _, _, _, final, _ = filter_chain(cur, gbuf, state, config)
         return final[..., :3]
 
-    K = 5
+    # K in-jit iterations: the fetch completion barrier varies 25-50 ms on
+    # this tunneled backend, so at K=5 it contributed +-1 ms to the per-
+    # frame estimate; K=20 dilutes the barrier to <0.1 ms/frame (r5).
+    K = 20
     many = jax.jit(lambda x: jax.lax.fori_loop(0, K, lambda i, v: chain(v), x))
     filter_ms, filter_ms_med = [
         v * 1e3

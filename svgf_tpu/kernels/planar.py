@@ -520,7 +520,7 @@ def temporal_planar(cur, prev, lo: Layout,
 _RADIUS = 3
 
 
-def _moments_planar_kernel(gates_ref, tout_hbm, cur_hbm, alias, out_hbm,
+def _moments_planar_kernel(tout_hbm, cur_hbm, alias, out_hbm,
                            tscr, sscr, pre, out_vmem,
                            tsem, ssem, osem,
                            *, th, tw, gh, halo, phi_colour, phi_normal,
@@ -575,15 +575,11 @@ def _moments_planar_kernel(gates_ref, tout_hbm, cur_hbm, alias, out_hbm,
         return sscr[slot, k, ha + dy : ha + dy + th,
                     PAD_X + dx : PAD_X + dx + tw]
 
-    # fallback gates precomputed in XLA (SMEM scalars; see wrapper)
-    g_per_tile = th // gh
-    s_per_tile = tw // 128
-    tile_gate = jnp.int32(0)
-    for g in range(g_per_tile):
-        for s0 in range(s_per_tile):
-            tile_gate = tile_gate + gates_ref[i * g_per_tile + g,
-                                              j * s_per_tile + s0]
-    needs_fallback = tile_gate > 0
+    hist = tplane(6)
+    zc_raw = splane(0)
+    invalid = zc_raw == 0.0
+    fb_mask = (hist < 4.0) & ~invalid
+    needs_fallback = jnp.any(fb_mask)
 
     # pass-through first (Filter.cuh:518-523); fallback sub-blocks overwrite
     out_vmem[0] = tplane(0)
@@ -626,20 +622,17 @@ def _moments_planar_kernel(gates_ref, tout_hbm, cur_hbm, alias, out_hbm,
             """49-tap fallback on one (gh x 128) cell — gated 2-D: thin
             horizontal silhouette strips activate one ROW group, narrow
             vertical disocclusion bands one COLUMN block, so most cells of
-            a triggered tile skip entirely. Gates come precomputed from
-            XLA as SMEM scalars (in-kernel vector->scalar any() per cell
-            cost more than the gated work it saved)."""
+            a triggered tile skip entirely."""
             r0 = g * gh                       # tile-relative group start
             c0 = s0 * 128
             rows = slice(ha + r0, ha + r0 + gh)
             cols = slice(PAD_X + c0, PAD_X + c0 + 128)
+            hist_g = tscr[slot, 6, rows, cols]
+            z_g = sscr[slot, 0, rows, cols]
+            use_g = (hist_g < 4.0) & ~(z_g == 0.0)
 
-            @pl.when(gates_ref[i * g_per_tile + g, j * s_per_tile + s0] > 0)
+            @pl.when(jnp.any(use_g))
             def _():
-                hist_g = tscr[slot, 6, rows, cols]
-                z_g = sscr[slot, 0, rows, cols]
-                use_g = (hist_g < 4.0) & ~(z_g == 0.0)
-
                 def ctr(k):
                     return pre[k, rows, cols]
 
@@ -734,17 +727,6 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
     erows = lo.th + 16
     ecols = lo.tw + 2 * PAD_X
     out0 = jnp.zeros((4, lo.hpad, lo.wpad), jnp.float32)
-    # per-(row-group x 128-col) cell fallback gates, computed as ONE tiny
-    # fused XLA reduce — the in-kernel vector->scalar any() per cell cost
-    # more than the gated work it saved on triggered tiles
-    hist_pl = tout[T_HIST, PAD_Y : PAD_Y + lo.hp, PAD_X : PAD_X + lo.wp]
-    z_pl = cur[C_Z, PAD_Y : PAD_Y + lo.hp, PAD_X : PAD_X + lo.wp]
-    fb = (hist_pl < 4.0) & (z_pl != 0.0)
-    gates = (
-        fb.reshape(lo.hp // gh, gh, lo.wp // 128, 128)
-        .any(axis=(1, 3))
-        .astype(jnp.int32)
-    )
     return pl.pallas_call(
         functools.partial(
             _moments_planar_kernel, th=lo.th, tw=lo.tw, gh=gh, halo=_RADIUS,
@@ -752,14 +734,13 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
         ),
         grid=(nh, nw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((4, lo.hpad, lo.wpad), jnp.float32),
-        input_output_aliases={3: 0},
+        input_output_aliases={2: 0},
         scratch_shapes=[
             pltpu.VMEM((2, 7, erows, ecols), jnp.float32),
             pltpu.VMEM((2, 5, erows, ecols), jnp.float32),
@@ -773,7 +754,7 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(gates, tout, cur, out0)
+    )(tout, cur, out0)
 
 
 # ---------------------------------------------------------------------------
