@@ -52,6 +52,10 @@ def main():
             tracing=TracingConfig(bounces=args.bounces),
             svgf=SVGFConfig(spatial_filter_steps=args.steps),
             debug_output=DebugOutput[args.tap],
+            # production-loop settings (bench.py-matched): chunked wavefront
+            # + no per-stage tap materialization unless a tap was asked for
+            trace_chunks=48 if args.width * args.height >= 512 * 512 else 4,
+            keep_taps=DebugOutput[args.tap] != DebugOutput.FINAL,
         )
 
     if args.scene == "cornell":
