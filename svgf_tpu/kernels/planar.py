@@ -762,10 +762,13 @@ def moments_planar(tout, cur, lo: Layout, phi_colour: float,
 # ---------------------------------------------------------------------------
 
 
+_DXI = {-2: 0, -1: 1, 1: 2, 2: 3}
+
+
 def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
                           cscr, sscr, pre, shift, out_vmem, csem, ssem, osem,
                           *, step, phi_colour, phi_normal, th, tw, ha, nh, nw,
-                          use_shift):
+                          use_shift, use_dxpre=False):
     """One a-trous iteration on the canonical layout. Identical math to
     atrous_pallas._atrous_chain_kernel; statics come from cur[C_Z:C_NZ+1]
     (z is fixed up 0 -> 1e30 here, once per tile)."""
@@ -821,6 +824,17 @@ def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
     pre[7] = sscr[slot, 3]
     pre[8] = sscr[slot, 4]
 
+    if use_dxpre:
+        # Materialize the 4 lane-shifted copies of all 9 pre planes ONCE
+        # per tile. Lane-misaligned vector reads cost ~3-4x an aligned read
+        # on v5e (measured, r5 probe): a direct tap loop pays that on all
+        # 216 (24 taps x 9 plane) reads, while dx-shifts commute with the
+        # dy row slicing — so 36 misaligned copies here turn every tap
+        # read into a dy-only-misaligned one (half the penalty).
+        for d in (-2, -1, 1, 2):
+            ox = d * step
+            shift[_DXI[d]] = pre[:, :, PAD_X + ox : PAD_X + ox + tw]
+
     def ctr(k):
         return pre[k, ha : ha + th, PAD_X : PAD_X + tw]
 
@@ -847,7 +861,14 @@ def _atrous_planar_kernel(colors_hbm, cur_hbm, alias_hbm, out_hbm,
 
     for dy in (-2, -1, 0, 1, 2):
         oy = dy * step
-        if use_shift:
+        if use_dxpre:
+
+            def sp(k, dx, oy=oy):
+                if dx == 0:
+                    return pre[k, ha + oy : ha + oy + th,
+                               PAD_X : PAD_X + tw]
+                return shift[_DXI[dx // step], k, ha + oy : ha + oy + th, :]
+        elif use_shift:
             shift[...] = pre[:, ha + oy : ha + oy + th, :]
 
             def sp(k, dx):
@@ -900,11 +921,13 @@ def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
     """Full wavelet loop on the canonical layout. colors: (4, HPAD, WPAD)
     f32 (the moments output). Returns (final, feedback) both
     (4, HPAD, WPAD) f32 — feedback is iteration-0's output
-    (Filter.cuh:619-622). shift_mode: "never" (default) reads
-    sublane-misaligned rows directly; "auto" uses dy row-shift copies for
-    misaligned steps. A/B on v5e (r5): within-process comparisons show the
-    two within noise at exact-fit tiles; direct reads avoid the copy's VMEM
-    traffic and won at the 128x512 tiling."""
+    (Filter.cuh:619-622). shift_mode: "dxpre" (default) materializes the 4
+    lane-shifted copies of the pre planes once per tile for the misaligned
+    small steps (<8) — lane-misaligned reads cost ~3-4x aligned on v5e, and
+    dx shifts commute with dy row slicing, so this halves the tap penalty
+    (measured r5: step1 1.46 -> ~0.8 ms); "never" reads misaligned rows
+    directly; "auto" uses dy row-shift copies for misaligned steps (no win:
+    it leaves all 216 lane-misaligned tap reads in place)."""
     assert steps >= 1
     nh, nw = lo.hp // lo.th, lo.wp // lo.tw
     bufs = [colors, jnp.zeros_like(colors)]
@@ -916,12 +939,13 @@ def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
         eh = lo.th + 2 * ha
         ew = lo.tw + 2 * PAD_X
         use_shift = (step % 8 != 0) and shift_mode == "auto"
+        use_dxpre = (step < 8) and shift_mode == "dxpre"
         src, dst = bufs[k % 2], bufs[(k + 1) % 2]
         dst = pl.pallas_call(
             functools.partial(
                 _atrous_planar_kernel, step=step, phi_colour=phi_colour,
                 phi_normal=phi_normal, th=lo.th, tw=lo.tw, ha=ha, nh=nh, nw=nw,
-                use_shift=use_shift,
+                use_shift=use_shift, use_dxpre=use_dxpre,
             ),
             grid=(nh, nw),
             in_specs=[
@@ -936,7 +960,9 @@ def atrous_chain_planar_v2(colors, cur, lo: Layout, steps: int,
                 pltpu.VMEM((2, 4, eh, ew), jnp.float32),
                 pltpu.VMEM((2, 5, eh, ew), jnp.float32),
                 pltpu.VMEM((9, eh, ew), jnp.float32),
-                pltpu.VMEM((9 if use_shift else 1, lo.th, ew), jnp.float32),
+                (pltpu.VMEM((4, 9, eh, lo.tw), jnp.float32) if use_dxpre
+                 else pltpu.VMEM((9 if use_shift else 1, lo.th, ew),
+                                 jnp.float32)),
                 pltpu.VMEM((4, lo.th, lo.tw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
